@@ -1,0 +1,40 @@
+"""ccv_tpu — a TPU-native vision + neural-network framework.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of liuliu/ccv:
+
+- ``ccv_tpu.core``      dense matrices over ``jax.Array``, content-hash memoization
+                        cache, image / golden-file I/O, algebra and numeric helpers
+                        (reference: lib/ccv_memory.c, lib/ccv_cache.c, lib/ccv_io.c).
+- ``ccv_tpu.ops``       fused image-processing primitives (sobel, blur, resample,
+                        color transforms, canny, SAT, pyramids) as batched XLA/Pallas
+                        programs (reference: lib/ccv_basic.c, lib/ccv_resample.c, ...).
+- ``ccv_tpu.detectors`` the classic detector suite (SIFT, SWT, SCD, BBF, ICF, DPM,
+                        TLD, MSER, ferns, DAISY) re-expressed as batched vectorized
+                        XLA programs (reference: lib/ccv_{sift,swt,scd,...}.c).
+- ``ccv_tpu.nn``        the NNC-equivalent neural-network layer: functional op set,
+                        Keras/CNNP-like model API, optimizers, dataframe pipeline,
+                        SQLite-compatible checkpoints (reference: lib/nnc/).
+- ``ccv_tpu.models``    model zoo (VGG-D / ccv_convnet twin, ...).
+- ``ccv_tpu.parallel``  mesh/sharding utilities: the TPU-native equivalent of the
+                        reference's NCCL data-parallel graph transform
+                        (reference: lib/nnc/ccv_nnc_symbolic_graph_parallel.c).
+
+Design: compute lives on plain ``jax.Array``s inside ``jit``; the ccv-compatible
+surface (``DenseMatrix`` with signatures + transparent memoization) is a thin shell
+at the host edge.
+"""
+
+__version__ = "0.1.0"
+
+from ccv_tpu.core.dense_matrix import DenseMatrix, from_numpy, to_numpy
+from ccv_tpu.core import cache
+from ccv_tpu.core.io import read, write
+
+__all__ = [
+    "DenseMatrix",
+    "from_numpy",
+    "to_numpy",
+    "cache",
+    "read",
+    "write",
+]

@@ -1,0 +1,92 @@
+"""Linear algebra / reductions (reference: lib/ccv_algebra.c).
+
+gemm rides the MXU directly; sat (summed-area table) is two cumulative sums
+which XLA lowers to fast parallel scans — the building block for all the
+cascade detectors (SCD/ICF/BBF feature lookups become SAT gathers).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NO_PADDING = 0x00
+PADDING_ZERO = 0x01
+
+# transpose flags (lib/ccv.h ccv_gemm)
+CCV_A_TRANSPOSE = 0x01
+CCV_B_TRANSPOSE = 0x02
+CCV_C_TRANSPOSE = 0x04
+
+
+def sat(a, padding: int = NO_PADDING):
+    """ccv_sat twin: inclusive 2D prefix sum over (..., H, W[, C]).
+
+    NO_PADDING: same size as input. PADDING_ZERO: one extra leading zero
+    row/column (so window sums need no bounds checks). 8U inputs accumulate
+    in int32 (int64 for >= 0x808080 pixels, matching the reference's
+    safe-type rule).
+    """
+    spatial_last = a.ndim == 2
+    x = a
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        big = (x.shape[-2 if spatial_last else -3] * x.shape[-1 if spatial_last else -2]) >= 0x808080
+        x = x.astype(jnp.int64 if big and jax.config.jax_enable_x64 else jnp.int32)
+    h_axis = -2 if spatial_last else -3
+    w_axis = -1 if spatial_last else -2
+    out = jnp.cumsum(jnp.cumsum(x, axis=h_axis), axis=w_axis)
+    if padding == PADDING_ZERO:
+        pad = [(0, 0)] * out.ndim
+        pad[h_axis] = (1, 0)
+        pad[w_axis] = (1, 0)
+        out = jnp.pad(out, pad)
+    return out
+
+
+def gemm(a, b, alpha: float = 1.0, transpose: int = 0, c=None, beta: float = 0.0):
+    """ccv_gemm twin: alpha * a @ b + beta * c, MXU matmul."""
+    x = a.T if transpose & CCV_A_TRANSPOSE else a
+    y = b.T if transpose & CCV_B_TRANSPOSE else b
+    out = alpha * jnp.matmul(x, y, preferred_element_type=jnp.float32)
+    if c is not None and beta != 0.0:
+        out = out + beta * (c.T if transpose & CCV_C_TRANSPOSE else c)
+    return out
+
+
+def normalize(a, btype=None, flag: int = 1):
+    """ccv_normalize twin: L1 (flag=1) or L2 (flag=2) normalization."""
+    x = a.astype(jnp.float32)
+    if flag == 1:
+        norm = jnp.sum(jnp.abs(x))
+    else:
+        norm = jnp.sqrt(jnp.sum(x * x))
+    return x / jnp.maximum(norm, 1e-12)
+
+
+def dot(a, b):
+    return jnp.vdot(a.astype(jnp.float32), b.astype(jnp.float32))
+
+
+def sum_(a, flag: int = 0):
+    return jnp.sum(a)
+
+
+def variance(a):
+    x = a.astype(jnp.float32)
+    return jnp.mean(x * x) - jnp.mean(x) ** 2
+
+
+def multiply(a, b):
+    return a * b
+
+
+def add(a, b):
+    return a + b
+
+
+def subtract(a, b):
+    return a - b
+
+
+def scale(a, ds: float):
+    return a * ds

@@ -1,0 +1,90 @@
+"""Separable-filter building blocks shared by the image primitives.
+
+All helpers operate on arrays shaped ``(..., H, W, C)`` (channels-last, any
+leading batch dims) so every primitive is batchable / vmap-able by
+construction — the TPU-native answer to the reference's per-image scalar
+loops. Integer inputs stay in integer arithmetic so the common 8U/32S paths
+reproduce the reference bit-exactly (lib/ccv_basic.c uses int paths with
+``ccv_descale``-style shifts).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def to_hwc(x):
+    """Normalize (H, W) -> (H, W, 1); returns (array, had_channels)."""
+    if x.ndim == 2:
+        return x[..., None], False
+    return x, True
+
+
+def from_hwc(x, had_channels: bool):
+    return x if had_channels else x[..., 0]
+
+
+def edge_pad(x, before: int, after: int, axis: int):
+    """Replicate-pad along one axis (ccv's border handling)."""
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (before, after)
+    return jnp.pad(x, pad, mode="edge")
+
+
+def correlate1d(x, taps: Sequence, axis: int, shift: int = 0):
+    """Correlate with an explicit tap list along ``axis``, replicate-padded.
+
+    Centered window of size ``len(taps)`` with center ``len(taps)//2``.
+    ``shift``: arithmetic right-shift applied to integer accumulations
+    (twin of _ccv_set_32s_value_1, lib/ccv_internal.h:256).
+    """
+    taps = list(taps)
+    fsz = len(taps)
+    hfz = fsz // 2
+    xp = edge_pad(x, hfz, fsz - 1 - hfz, axis)
+    is_int = jnp.issubdtype(x.dtype, jnp.integer)
+    acc_dtype = jnp.int32 if is_int else x.dtype
+    acc = None
+    for k, t in enumerate(taps):
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(k, k + x.shape[axis])
+        term = xp[tuple(sl)].astype(acc_dtype) * acc_dtype(t)
+        acc = term if acc is None else acc + term
+    if is_int and shift:
+        acc = jnp.right_shift(acc, shift)  # arithmetic shift: floor(x / 2**s)
+    return acc
+
+
+def min_filter1d(x, fsz: int, axis: int):
+    """Running-min window of ``fsz`` (center fsz//2), replicate-padded."""
+    hfz = fsz // 2
+    xp = edge_pad(x, hfz, fsz - 1 - hfz, axis)
+    out = None
+    for k in range(fsz):
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(k, k + x.shape[axis])
+        v = xp[tuple(sl)]
+        out = v if out is None else jnp.minimum(out, v)
+    return out
+
+
+def max_filter1d(x, fsz: int, axis: int):
+    hfz = fsz // 2
+    xp = edge_pad(x, hfz, fsz - 1 - hfz, axis)
+    out = None
+    for k in range(fsz):
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(k, k + x.shape[axis])
+        v = xp[tuple(sl)]
+        out = v if out is None else jnp.maximum(out, v)
+    return out
+
+
+def gaussian_taps(sigma: float, fsz: int) -> np.ndarray:
+    """Unnormalized Gaussian taps, center fsz//2."""
+    hfz = fsz // 2
+    i = np.arange(fsz, dtype=np.float64)
+    return np.exp(-((i - hfz) ** 2) / (2.0 * sigma * sigma))

@@ -1,0 +1,54 @@
+"""Test config: force CPU with 8 virtual devices so sharding/collective tests
+run without TPU hardware (bench runs on the real chip via bench.py)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+
+
+def reference_path(rel: str) -> str:
+    return os.path.join(REFERENCE, rel)
+
+
+def has_reference() -> bool:
+    return os.path.isdir(REFERENCE)
+
+
+requires_reference = pytest.mark.skipif(
+    not os.path.isdir(REFERENCE), reason="reference checkout not available"
+)
+
+
+def read_golden(name: str):
+    """Load a golden CCVBINDM matrix from the reference's unit-test data."""
+    from ccv_tpu.core.io import read
+
+    return read(reference_path(f"test/unit/data/{name}")).numpy()
+
+
+def assert_image_close(actual, golden, atol=1, frac=0.999, msg=""):
+    """Fidelity gate: >= `frac` of entries within `atol`, and no wild outliers.
+
+    The reference's tests are bit-exact C-vs-golden; we compute in XLA (often
+    float) so the gate is tolerance-based, mirroring
+    REQUIRE_ARRAY_EQ_WITHIN_ANGLE_AND_MAGNITUDE's spirit.
+    """
+    actual = np.asarray(actual)
+    golden = np.asarray(golden)
+    assert actual.shape == golden.shape, f"{msg}: shape {actual.shape} != {golden.shape}"
+    a = actual.astype(np.float64)
+    g = golden.astype(np.float64)
+    ok = np.abs(a - g) <= atol
+    frac_ok = ok.mean()
+    assert frac_ok >= frac, (
+        f"{msg}: only {frac_ok:.4%} within +/-{atol} "
+        f"(max err {np.abs(a - g).max()}, mean err {np.abs(a - g).mean():.4f})"
+    )
