@@ -3,10 +3,17 @@ run without TPU hardware (bench runs on the real chip via bench.py)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU even when the session exports JAX_PLATFORMS=axon (real TPU):
+# both variables are needed — the axon plugin wins over JAX_PLATFORMS alone.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+assert jax.devices()[0].platform == "cpu", jax.devices()
 
 import numpy as np
 import pytest

@@ -1,0 +1,72 @@
+"""SCD face-detector fidelity tests.
+
+Goldens generated with the reference implementation (a harness linking the
+reference's libccv ran `ccv_scd` and `ccv_scd_detect_objects` with
+min_neighbors=0 and fully-open stage thresholds on tests/data/crop180.png):
+
+- crop180.scdmap.bin      the 11-channel ccv_scd feature map
+- crop180.scd_open.txt    every sliding-window rect + confidence
+- face_low.sqlite3        face.sqlite3 with thresholds dropped to -1000
+
+Full-image parity (chessbox 500x500, 53841 windows, confidences within
+5.5e-3) was verified against the same oracle out-of-band.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+from ccv_tpu.core.io import read, IO_RGB_COLOR
+from ccv_tpu.detectors import scd
+
+
+@pytest.fixture(scope="module")
+def crop():
+    return read(os.path.join(DATA, "crop180.png"), IO_RGB_COLOR)
+
+
+def test_scd_map_matches_reference(crop):
+    golden = read(os.path.join(DATA, "crop180.scdmap.bin")).numpy()
+    mine = np.asarray(scd.scd_map(crop.array))
+    assert mine.shape == golden.shape
+    # gradient channels (0-7) are integer-exact sobel outputs
+    np.testing.assert_array_equal(mine[..., :8], golden[..., :8])
+    # LUV channels go through the cube-root LUT; float tolerance
+    np.testing.assert_allclose(mine[..., 8:], golden[..., 8:], atol=1e-4)
+
+
+def test_scd_detect_window_parity(crop):
+    casc = scd.load_cascade(os.path.join(DATA, "face_low.sqlite3"))
+    out = scd.detect(crop.array, casc, scd.ScdParams(min_neighbors=0))
+    mine = {(int(c.x), int(c.y), int(c.width), int(c.height)): c.confidence
+            for c in out}
+    ref = {}
+    with open(os.path.join(DATA, "crop180.scd_open.txt")) as f:
+        for line in f:
+            x, y, w, h, conf = line.split()
+            ref[(int(x), int(y), int(w), int(h))] = float(conf)
+    assert set(mine) == set(ref), (
+        f"window sets differ: {len(mine)} vs {len(ref)}; "
+        f"only mine: {list(set(mine) - set(ref))[:3]}; "
+        f"only ref: {list(set(ref) - set(mine))[:3]}")
+    diffs = [abs(mine[k] - ref[k]) for k in ref]
+    assert max(diffs) < 2e-2, f"max confidence diff {max(diffs)}"
+
+
+def test_scd_merge_min_neighbors(crop):
+    # grouping keeps only clusters of >= min_neighbors windows
+    casc = scd.load_cascade(os.path.join(DATA, "face_low.sqlite3"))
+    all_dets = scd.detect(crop.array, casc, scd.ScdParams(min_neighbors=0))
+    merged = scd.detect(crop.array, casc, scd.ScdParams(min_neighbors=2))
+    assert len(merged) < len(all_dets)
+    assert all(c.neighbors >= 2 for c in merged)
+
+
+def test_scd_real_cascade_no_faces(crop):
+    # the real cascade should reject a chessboard crop entirely
+    casc = scd.load_cascade("/root/reference/samples/face.sqlite3")
+    out = scd.detect(crop.array, casc)
+    assert out == []
