@@ -555,7 +555,7 @@ def lstm(x, w_ih, w_hh, b_ih=None, b_hh=None, h0=None, c0=None,
     lax.scan so XLA pipelines the gemms.
     """
     T, B, _ = x.shape
-    H = w_hh.shape[-1]
+    H = w_hh.shape[0]  # w_hh: (H, 4H)
     h0 = jnp.zeros((B, H), x.dtype) if h0 is None else h0
     c0 = jnp.zeros((B, H), x.dtype) if c0 is None else c0
     # precompute input projections for all timesteps in one MXU matmul

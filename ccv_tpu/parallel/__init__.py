@@ -1,0 +1,15 @@
+from ccv_tpu.parallel.mesh import (
+    comm_allreduce,
+    comm_broadcast,
+    comm_reduce,
+    data_parallel_mesh,
+    device_count,
+    make_mesh,
+    shard_batch,
+    replicate,
+)
+
+__all__ = [
+    "comm_allreduce", "comm_broadcast", "comm_reduce", "data_parallel_mesh",
+    "device_count", "make_mesh", "shard_batch", "replicate",
+]

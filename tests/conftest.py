@@ -3,8 +3,9 @@ run without TPU hardware (bench runs on the real chip via bench.py)."""
 
 import os
 
-# force CPU even when the session exports JAX_PLATFORMS=axon (real TPU):
-# both variables are needed — the axon plugin wins over JAX_PLATFORMS alone.
+# force CPU even when the session exports JAX_PLATFORMS=axon (real TPU).
+# jax may already be imported by a pytest plugin, so set the config directly
+# (it works pre-backend-initialization) in addition to the env vars.
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
@@ -13,6 +14,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")
 assert jax.devices()[0].platform == "cpu", jax.devices()
 
 import numpy as np
