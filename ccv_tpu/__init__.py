@@ -35,12 +35,15 @@ import jax as _jax
 _platform_tag = _os.environ.get("JAX_PLATFORM_NAME") or _os.environ.get("JAX_PLATFORMS") or "default"
 _cache_dir = _os.environ.get("CCV_TPU_JAX_CACHE",
                              _os.path.expanduser(f"~/.cache/ccv_tpu_jax/{_platform_tag}"))
-try:
-    _os.makedirs(_cache_dir, exist_ok=True)
-    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-except Exception:  # pragma: no cover - cache is best-effort
-    pass
+# only persist TPU compilations: XLA:CPU AOT results are pinned to exact host
+# CPU features and spew mismatch warnings when reloaded.
+if _platform_tag not in ("cpu",):
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
 
 from ccv_tpu.core.dense_matrix import DenseMatrix, from_numpy, to_numpy
 from ccv_tpu.core import cache

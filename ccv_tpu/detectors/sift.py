@@ -1,0 +1,424 @@
+"""SIFT keypoints + descriptors (reference: lib/ccv_sift.c, VLFeat-derived).
+
+TPU-native redesign:
+- Gaussian/DoG/gradient pyramids are stacked XLA ops per octave.
+- 3x3x3 extrema detection + iterative quadratic refinement run for *every*
+  pixel at once (the 5-step convergence loop is a vectorized fori_loop with
+  per-candidate state instead of the reference's per-pixel loop,
+  ccv_sift.c:286-316).
+- Orientation histograms and 4x4x8 descriptors are vmapped fixed-window
+  gathers with masked out-of-round pixels; the reference's fast_expn LUT
+  (ccv_sift.c:141-160) is reproduced exactly for parity.
+- Variable-length keypoint lists cross the host boundary as mask+value
+  planes (SURVEY.md hard-parts list).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ccv_tpu.ops import basic, resample
+
+SIGMA0 = 1.6
+EXPN_SZ = 256
+EXPN_MAX = 25.0
+_EXPN_TAB = np.exp(-np.arange(EXPN_SZ + 1) * (EXPN_MAX / EXPN_SZ))
+
+
+@dataclasses.dataclass
+class SiftParams:
+    """ccv_sift_default_params twin (ccv_sift.c:36)."""
+
+    noctaves: int = 3
+    nlevels: int = 6
+    up2x: bool = True
+    edge_threshold: float = 10.0
+    norm_threshold: float = 0.0
+    peak_threshold: float = 0.0
+
+
+def _expn(x):
+    """fast_expn LUT with linear interpolation (exact reference twin)."""
+    x = jnp.clip(x, 0.0, EXPN_MAX)
+    xs = x * (EXPN_SZ / EXPN_MAX)
+    i = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, EXPN_SZ - 1)
+    r = xs - i
+    tab = jnp.asarray(_EXPN_TAB, jnp.float32)
+    return tab[i] + r * (tab[i + 1] - tab[i])
+
+
+@partial(jax.jit, static_argnames=("nlevels",))
+def build_octave(g0, nlevels: int):
+    """One octave: returns (gfirst, glast_unblurred, dog(L-1,H,W),
+    th(L-3,H,W), md(L-3,H,W)). gfirst = blur(g0, sqrt(s0^2-0.25))."""
+    sigmak = 2.0 ** (1.0 / (nlevels - 3))
+    dsigma0 = SIGMA0 * sigmak * math.sqrt(1.0 - 1.0 / (sigmak * sigmak))
+    g = [None] * (nlevels + 1)
+    g[1] = basic.blur(g0.astype(jnp.float32),
+                      math.sqrt(SIGMA0 * SIGMA0 - 0.25))
+    dogs, ths, mds = [], [], []
+    for j in range(1, nlevels):
+        sd = dsigma0 * sigmak ** (j - 1)
+        g[j + 1] = basic.blur(g[j], sd)
+        dogs.append(g[j + 1] - g[j])
+        if 1 < j < nlevels - 1:
+            th, md = basic.gradient(g[j])
+            ths.append(th)
+            mds.append(md)
+    return g[1], jnp.stack(dogs), jnp.stack(ths), jnp.stack(mds)
+
+
+@partial(jax.jit, static_argnames=("nlevels",))
+def find_keypoints(dog, peak_threshold: float, edge_threshold: float,
+                   nlevels: int):
+    """Vectorized extrema + iterative subpixel refinement.
+
+    dog: (L-1, H, W). Returns per-(level, y, x): valid mask, kp_x, kp_y,
+    kp_scale (level units).
+    """
+    L1, H, W = dog.shape
+
+    def neighbors_extrema(j):
+        b, c, u = dog[j - 1], dog[j], dog[j + 1]
+        v = c
+        lt = (v <= -peak_threshold)
+        gt = (v >= peak_threshold)
+        for arr in (b, c, u):
+            for di in (-1, 0, 1):
+                for dj in (-1, 0, 1):
+                    if arr is c and di == 0 and dj == 0:
+                        continue
+                    nb = jnp.roll(arr, (-di, -dj), (0, 1))
+                    lt = lt & (v < nb)
+                    gt = gt & (v > nb)
+        ext = lt | gt
+        # exclude the 1-pixel border
+        ii = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        return ext & (ii >= 1) & (ii < H - 1) & (jj >= 1) & (jj < W - 1)
+
+    def refine_level(j):
+        ext = neighbors_extrema(j)
+        b, c, u = dog[j - 1], dog[j], dog[j + 1]
+        jj0 = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        ii0 = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+
+        def n9(ix, iy):
+            """gather the 3x3x3 neighborhood at integer (ix, iy)."""
+            vals = []
+            for arr in (b, c, u):
+                for di in (-1, 0, 1):
+                    row = []
+                    for dj in (-1, 0, 1):
+                        row.append(arr[(iy + di).clip(0, H - 1),
+                                       (ix + dj).clip(0, W - 1)])
+                    vals.append(jnp.stack(row, -1))
+            return jnp.stack(vals, -2).reshape(*ix.shape, 3, 3, 3)  # (.., s, dy, dx)
+
+        def solve(N):
+            """quadratic fit: returns (bvec(3), score)."""
+            Dxx = N[..., 1, 1, 0] - 2 * N[..., 1, 1, 1] + N[..., 1, 1, 2]
+            Dyy = N[..., 1, 0, 1] - 2 * N[..., 1, 1, 1] + N[..., 1, 2, 1]
+            Dxy = (N[..., 1, 2, 2] - N[..., 1, 2, 0] - N[..., 1, 0, 2] + N[..., 1, 0, 0]) * 0.25
+            score = (Dxx + Dyy) ** 2 / (Dxx * Dyy - Dxy * Dxy)
+            Dx = (N[..., 1, 1, 2] - N[..., 1, 1, 0]) * 0.5
+            Dy = (N[..., 1, 2, 1] - N[..., 1, 0, 1]) * 0.5
+            Ds = (N[..., 2, 1, 1] - N[..., 0, 1, 1]) * 0.5
+            Dxs = (N[..., 2, 1, 2] + N[..., 0, 1, 0] - N[..., 2, 1, 0] - N[..., 0, 1, 2]) * 0.25
+            Dys = (N[..., 2, 2, 1] + N[..., 0, 0, 1] - N[..., 2, 0, 1] - N[..., 0, 2, 1]) * 0.25
+            Dss = N[..., 0, 1, 1] - 2 * N[..., 1, 1, 1] + N[..., 2, 1, 1]
+            A = jnp.stack([
+                jnp.stack([Dxx, Dxy, Dxs], -1),
+                jnp.stack([Dxy, Dyy, Dys], -1),
+                jnp.stack([Dxs, Dys, Dss], -1)], -2).astype(jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+            rhs = -jnp.stack([Dx, Dy, Ds], -1)
+            det = jnp.linalg.det(A)
+            ok = jnp.abs(det) > 1e-20
+            A_safe = jnp.where(ok[..., None, None], A, jnp.eye(3))
+            bvec = jnp.linalg.solve(A_safe, rhs[..., None])[..., 0]
+            bvec = jnp.where(ok[..., None], bvec, 0.0)
+            return bvec, score
+
+        def body(k, state):
+            ix, iy, alive, kx, ky, ks, score = state
+            N = n9(ix, iy)
+            bvec, sc = solve(N)
+            nkx = ix + jnp.clip(bvec[..., 0], -1, 1)
+            nky = iy + jnp.clip(bvec[..., 1], -1, 1)
+            nks = j + bvec[..., 2]
+            inb = (nkx >= 1) & (nkx <= W - 2) & (nky >= 1) & (nky <= H - 2)
+            nx = (nkx + 0.5).astype(jnp.int32)
+            ny = (nky + 0.5).astype(jnp.int32)
+            converged = (nx == ix) & (ny == iy)
+            kx = jnp.where(alive, nkx, kx)
+            ky = jnp.where(alive, nky, ky)
+            ks = jnp.where(alive, nks, ks)
+            score = jnp.where(alive, sc, score)
+            dead = alive & ~inb
+            alive = alive & inb & ~converged
+            ix = jnp.where(alive, nx, ix)
+            iy = jnp.where(alive, ny, iy)
+            # permanently kill out-of-bounds candidates by poisoning score
+            score = jnp.where(dead, -1.0, score)
+            kx = jnp.where(dead, -10.0, kx)
+            return ix, iy, alive, kx, ky, ks, score
+
+        init = (jj0, ii0, ext, jj0.astype(jnp.float32), ii0.astype(jnp.float32),
+                jnp.full((H, W), float(j), jnp.float32), jnp.full((H, W), -1.0))
+        ix, iy, alive, kx, ky, ks, score = jax.lax.fori_loop(0, 5, body, init)
+        final_val = c[iy.clip(0, H - 1), ix.clip(0, W - 1)]
+        # re-gather |dog| at the final integer location (all levels share c=dog[j])
+        et = (edge_threshold + 1.0) ** 2 / edge_threshold
+        valid = (ext & (kx > -5)
+                 & (jnp.abs(final_val) > peak_threshold)
+                 & (score >= 0) & (score < et)
+                 & (ks > 0) & (ks < nlevels - 1))
+        return valid, kx, ky, ks
+
+    results = [refine_level(j) for j in range(1, L1 - 1)]
+    valid = jnp.stack([r[0] for r in results])
+    kx = jnp.stack([r[1] for r in results])
+    ky = jnp.stack([r[2] for r in results])
+    ks = jnp.stack([r[3] for r in results])
+    return valid, kx, ky, ks
+
+
+ORI_WIN = 16  # max orientation window radius: 3*1.5*scale(max~3.2)+.5 ~ 15
+
+
+@jax.jit
+def orientation_bins(th, md, kxs, kys, scales, levels):
+    """Smoothed 36-bin orientation histograms for a batch of keypoints.
+
+    th/md: (L-3, H, W) gradient pyramids of one octave; kxs/kys in octave
+    coordinates. Returns (N, 36) float64-ish bins (f32 here).
+    """
+    Lg, H, W = th.shape
+
+    def one(kx, ky, scale, level):
+        ix = (kx + 0.5).astype(jnp.int32)
+        iy = (ky + 0.5).astype(jnp.int32)
+        sigmaw = 1.5 * scale
+        wz = jnp.maximum((3.0 * sigmaw + 0.5).astype(jnp.int32), 1)
+        dy = jnp.arange(-ORI_WIN, ORI_WIN + 1)
+        dx = jnp.arange(-ORI_WIN, ORI_WIN + 1)
+        yy = iy + dy[:, None]
+        xx = ix + dx[None, :]
+        inside = ((yy >= 0) & (yy < H) & (xx >= 0) & (xx < W)
+                  & (jnp.abs(dy)[:, None] <= wz) & (jnp.abs(dx)[None, :] <= wz))
+        t = th[level, yy.clip(0, H - 1), xx.clip(0, W - 1)]
+        m = md[level, yy.clip(0, H - 1), xx.clip(0, W - 1)]
+        r2 = (xx - kx) ** 2 + (yy - ky) ** 2
+        inside &= r2 <= wz * wz + 0.6
+        weight = _expn(r2 / (2.0 * sigmaw * sigmaw))
+        fbin = t * 0.1
+        ibin = jnp.floor(fbin - 0.5).astype(jnp.int32)
+        rbin = fbin - ibin - 0.5
+        w1 = jnp.where(inside, (1 - rbin) * m * weight, 0.0)
+        w2 = jnp.where(inside, rbin * m * weight, 0.0)
+        b1 = jnp.mod(ibin + 36, 36).reshape(-1)
+        b2 = jnp.mod(ibin + 1, 36).reshape(-1)
+        bins = jnp.zeros(36).at[b1].add(w1.reshape(-1)).at[b2].add(w2.reshape(-1))
+
+        def smooth(_, bins):
+            prev = jnp.roll(bins, 1)
+            nxt = jnp.roll(bins, -1)
+            return (prev + bins + nxt) / 3.0
+
+        return jax.lax.fori_loop(0, 6, smooth, bins)
+
+    return jax.vmap(one)(kxs, kys, scales, levels)
+
+
+DESC_WIN = 56  # max descriptor window radius: 3*scale*sqrt(2)*2.5+0.5
+
+
+@jax.jit
+def descriptors(th, md, kxs, kys, scales, levels, angles):
+    """4x4x8 SIFT descriptors for a batch of keypoints (one octave)."""
+    Lg, H, W = th.shape
+
+    def one(kx, ky, scale, level, angle):
+        ix = (kx + 0.5).astype(jnp.int32)
+        iy = (ky + 0.5).astype(jnp.int32)
+        SBP = 3.0 * scale
+        wz = jnp.maximum((SBP * math.sqrt(2.0) * 2.5 + 0.5).astype(jnp.int32), 1)
+        dy = jnp.arange(-DESC_WIN, DESC_WIN + 1)
+        dx = jnp.arange(-DESC_WIN, DESC_WIN + 1)
+        yy = iy + dy[:, None]
+        xx = ix + dx[None, :]
+        inside = ((yy >= 0) & (yy < H) & (xx >= 0) & (xx < W)
+                  & (jnp.abs(dy)[:, None] <= wz) & (jnp.abs(dx)[None, :] <= wz))
+        t = th[level, yy.clip(0, H - 1), xx.clip(0, W - 1)]
+        m = md[level, yy.clip(0, H - 1), xx.clip(0, W - 1)]
+        ca, sa = jnp.cos(angle), jnp.sin(angle)
+        fx = xx - kx
+        fy = yy - ky
+        nx = (ca * fx + sa * fy) / SBP
+        ny = (-sa * fx + ca * fy) / SBP
+        nt = 8.0 * jnp.mod(t * (math.pi / 180.0) - angle, 2.0 * math.pi) / (2.0 * math.pi)
+        weight = _expn((nx * nx + ny * ny) / (2.0 * 2.0 * 2.0)) * m
+        binx = jnp.floor(nx - 0.5).astype(jnp.int32)
+        biny = jnp.floor(ny - 0.5).astype(jnp.int32)
+        bint = jnp.floor(nt).astype(jnp.int32)
+        rbinx = nx - (binx + 0.5)
+        rbiny = ny - (biny + 0.5)
+        rbint = nt - bint
+        desc = jnp.zeros(128)
+        for dbx in (0, 1):
+            for dby in (0, 1):
+                for dbt in (0, 1):
+                    bx = binx + dbx
+                    by = biny + dby
+                    ok = inside & (bx >= -2) & (bx < 2) & (by >= -2) & (by < 2)
+                    idx = (2 + by) * 32 + (2 + bx) * 8 + jnp.mod(bint + dbt, 8)
+                    w = (weight * jnp.abs(1 - dbx - rbinx)
+                         * jnp.abs(1 - dby - rbiny) * jnp.abs(1 - dbt - rbint))
+                    desc = desc.at[jnp.where(ok, idx, 128).reshape(-1)].add(
+                        jnp.where(ok, w, 0.0).reshape(-1), mode="drop")
+        # L2 normalize, clip at 0.2, renormalize (ccv_sift.c:455-470)
+        norm = jnp.sqrt(jnp.sum(desc * desc))
+        desc = desc / jnp.maximum(norm, 1e-12)
+        desc = jnp.minimum(desc, 0.2)
+        desc = desc / jnp.maximum(jnp.sqrt(jnp.sum(desc * desc)), 1e-12)
+        return desc
+
+    return jax.vmap(one)(kxs, kys, scales, levels, angles)
+
+
+def sift(a, params: Optional[SiftParams] = None, want_desc: bool = True):
+    """ccv_sift twin (ccv_sift.c:172): returns (keypoints, descriptors).
+
+    keypoints: list of dicts {x, y, octave, level, scale, angle} in input
+    coordinates; descriptors: (N, 128) float32 numpy or None.
+    """
+    from ccv_tpu.core.dense_matrix import as_array
+
+    params = params or SiftParams()
+    img = as_array(a)
+    if img.ndim == 3:
+        img = img[..., 0]
+    nlevels = params.nlevels
+    sigmak = 2.0 ** (1.0 / (nlevels - 3))
+
+    octaves = []  # (octave_index, g0)
+    if params.up2x:
+        up = resample.sample_up(img)
+        octaves.append((-1, up))
+    octaves.append((0, img))
+
+    per_octave = {}
+    g_prev = None
+    for oi in range(1, params.noctaves):
+        pass  # built below after blur chain
+
+    # build pyramids octave by octave (next octave = sample_down of the
+    # previous octave's g[0]-equivalent, matching ccv_sift.c:233)
+    results = {}
+    base = octaves[-1][1]
+    chain = [img]
+    for oi in range(1, params.noctaves):
+        chain.append(resample.sample_down(chain[-1]))
+    all_octaves = ([(-1, octaves[0][1])] if params.up2x else []) + [
+        (i, chain[i]) for i in range(params.noctaves)]
+
+    keypoints = []
+    desc_rows = []
+    for oct_i, g0 in all_octaves:
+        if oct_i == -1:
+            # the upsampled octave starts at sigma sqrt(2)
+            sd = math.sqrt(SIGMA0 * SIGMA0 - 2.0)
+            g1 = basic.blur(g0.astype(jnp.float32), sd)
+            dsigma0 = SIGMA0 * sigmak * math.sqrt(1.0 - 1.0 / (sigmak * sigmak))
+            g = g1
+            dogs, ths, mds = [], [], []
+            for j in range(1, nlevels):
+                gn = basic.blur(g, dsigma0 * sigmak ** (j - 1))
+                dogs.append(gn - g)
+                if 1 < j < nlevels - 1:
+                    t_, m_ = basic.gradient(g)
+                    ths.append(t_)
+                    mds.append(m_)
+                g = gn
+            dog = jnp.stack(dogs)
+            th = jnp.stack(ths)
+            md = jnp.stack(mds)
+        else:
+            _, dog, th, md = build_octave(g0, nlevels)
+        valid, kx, ky, ks = find_keypoints(
+            dog, params.peak_threshold, params.edge_threshold, nlevels)
+        v = np.asarray(valid)
+        if not v.any():
+            continue
+        lvl, ys, xs = np.nonzero(v)
+        kxs = np.asarray(kx)[lvl, ys, xs]
+        kys = np.asarray(ky)[lvl, ys, xs]
+        kss = np.asarray(ks)[lvl, ys, xs]
+        level = lvl + 1  # refine_level j = lvl+1
+        s = 2.0 ** oct_i
+        sigma = SIGMA0 * sigmak * np.power(2.0, kss / (nlevels - 3))
+        # orientation
+        bins = np.asarray(orientation_bins(
+            th, md, jnp.asarray(kxs, jnp.float32), jnp.asarray(kys, jnp.float32),
+            jnp.asarray(sigma, jnp.float32), jnp.asarray(level - 1, jnp.int32)))
+        for n in range(len(kxs)):
+            b = bins[n]
+            maxib = int(np.argmax(b))
+            entries = [maxib]
+            maxb = b[maxib] * 0.8
+            for j2 in range(36):
+                if j2 != maxib and b[j2] > maxb and b[j2] > b[(j2 - 1) % 36] and b[j2] > b[(j2 + 1) % 36]:
+                    entries.append(j2)
+            for e in entries:
+                bm = b[(e + 35) % 36]
+                bp = b[(e + 1) % 36]
+                den = bp + bm - 2 * b[e]
+                di = -0.5 * (bp - bm) / den if den != 0 else 0.0
+                angle = 2 * math.pi * (e + di + 0.5) / 36.0
+                keypoints.append(dict(
+                    x=float(kxs[n] * s), y=float(kys[n] * s), octave=oct_i,
+                    level=int(level[n]), scale=float(sigma[n]),
+                    angle=float(angle), _ox=float(kxs[n]), _oy=float(kys[n])))
+        if want_desc:
+            okp = [k2 for k2 in keypoints if k2["octave"] == oct_i and "_done" not in k2]
+            if okp:
+                d = np.asarray(descriptors(
+                    th, md,
+                    jnp.asarray([k2["_ox"] for k2 in okp], jnp.float32),
+                    jnp.asarray([k2["_oy"] for k2 in okp], jnp.float32),
+                    jnp.asarray([k2["scale"] for k2 in okp], jnp.float32),
+                    jnp.asarray([k2["level"] - 1 for k2 in okp], jnp.int32),
+                    jnp.asarray([k2["angle"] for k2 in okp], jnp.float32)))
+                desc_rows.append(d)
+                for k2 in okp:
+                    k2["_done"] = True
+    for k2 in keypoints:
+        k2.pop("_done", None)
+        k2.pop("_ox", None)
+        k2.pop("_oy", None)
+    desc = np.concatenate(desc_rows, 0).astype(np.float32) if desc_rows else None
+    return keypoints, desc
+
+
+def match(desc1: np.ndarray, desc2: np.ndarray, ratio: float = 0.36):
+    """bin/siftmatch twin: nearest-neighbor matching with the reference's
+    squared-distance ratio test (bin/siftmatch.c uses threshold 0.36 on
+    dist1/dist2). Distances computed as one MXU matmul."""
+    d1 = jnp.asarray(desc1)
+    d2 = jnp.asarray(desc2)
+    dots = d1 @ d2.T
+    n1 = jnp.sum(d1 * d1, axis=1, keepdims=True)
+    n2 = jnp.sum(d2 * d2, axis=1)
+    dist = n1 + n2 - 2 * dots
+    order = jnp.argsort(dist, axis=1)
+    best = jnp.take_along_axis(dist, order[:, :1], axis=1)[:, 0]
+    second = jnp.take_along_axis(dist, order[:, 1:2], axis=1)[:, 0]
+    ok = best < ratio * second
+    return np.asarray(order[:, 0]), np.asarray(ok)

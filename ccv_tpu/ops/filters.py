@@ -51,7 +51,7 @@ def correlate1d(x, taps: Sequence, axis: int, shift: int = 0):
     for k, t in enumerate(taps):
         sl = [slice(None)] * x.ndim
         sl[axis] = slice(k, k + x.shape[axis])
-        term = xp[tuple(sl)].astype(acc_dtype) * acc_dtype(t)
+        term = xp[tuple(sl)].astype(acc_dtype) * jnp.asarray(t, acc_dtype)
         acc = term if acc is None else acc + term
     if is_int and shift:
         acc = jnp.right_shift(acc, shift)  # arithmetic shift: floor(x / 2**s)
