@@ -1,0 +1,322 @@
+"""ICF pedestrian detector (reference: lib/ccv_icf.c).
+
+Same TPU blueprint as SCD: octave+interval pyramid, per-level channel map
+(LUV + gradient magnitude + 6-bin soft HOG, ccv_icf.c:316) -> zero-padded
+SAT -> every sliding window evaluated at once. The depth-2 decision trees
+(_ccv_icf_run_weak_classifier, :407) become branchless selects; the soft
+cascade's running-sum early exit (:2161 loop) becomes an all-prefixes
+check over the cumulative sum.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ccv_tpu.core import algebra
+from ccv_tpu.detectors.common import Comp, group
+from ccv_tpu.ops import basic, resample
+from ccv_tpu.detectors.scd import _luv  # same LUV conversion (ccv_scd.c:298)
+
+
+@dataclasses.dataclass
+class IcfParams:
+    """ccv_icf_default_params twin (ccv_icf.c:14)."""
+
+    min_neighbors: int = 2
+    threshold: float = 0.0
+    step_through: int = 2
+    interval: int = 8
+
+
+@dataclasses.dataclass
+class IcfCascade:
+    width: int
+    height: int
+    grayscale: int
+    margin: tuple  # (left, top, right, bottom)
+    # flattened decision trees:
+    n_weak: int
+    pass_bits: np.ndarray       # (n,)
+    weigh: np.ndarray           # (n, 2)
+    thresholds: np.ndarray      # (n,)
+    # features: (n, 3, boxes<=2) padded with alpha=0
+    channel: np.ndarray         # (n, 3, 2)
+    alpha: np.ndarray           # (n, 3, 2)
+    beta: np.ndarray            # (n, 3)
+    sat0: np.ndarray            # (n, 3, 2, 2) x0,y0
+    sat1: np.ndarray            # (n, 3, 2, 2) x1,y1
+
+
+def load_cascade(path: str) -> IcfCascade:
+    """ccv_icf_read_classifier_cascade twin (text format w/ %a hex floats)."""
+    toks = open(path).read().split()
+    pos = 0
+
+    def rd(n=1):
+        nonlocal pos
+        out = toks[pos:pos + n]
+        pos += n
+        return out
+
+    count, w, h, gray = (int(t) for t in rd(4))
+    ml, mt, mr, mb = (int(t) for t in rd(4))
+    pass_bits = np.zeros(count, np.uint32)
+    weigh = np.zeros((count, 2), np.float32)
+    thresholds = np.zeros(count, np.float32)
+    channel = np.zeros((count, 3, 2), np.int32)
+    alpha = np.zeros((count, 3, 2), np.float32)
+    beta = np.zeros((count, 3), np.float32)
+    sat0 = np.zeros((count, 3, 2, 2), np.int32)
+    sat1 = np.zeros((count, 3, 2, 2), np.int32)
+
+    def read_feature(i, f):
+        cnt = int(rd(1)[0])
+        beta[i, f] = float.fromhex(rd(1)[0])
+        for q in range(cnt):
+            ch_, al, x0, y0, x1, y1 = rd(6)
+            channel[i, f, q] = int(ch_)
+            alpha[i, f, q] = float.fromhex(al)
+            sat0[i, f, q] = (int(x0), int(y0))
+            sat1[i, f, q] = (int(x1), int(y1))
+
+    for i in range(count):
+        p, w0, w1, th = rd(4)
+        pass_bits[i] = int(p)
+        weigh[i] = (float.fromhex(w0), float.fromhex(w1))
+        thresholds[i] = float.fromhex(th)
+        read_feature(i, 0)
+        if pass_bits[i] & 0x2:
+            read_feature(i, 1)
+        if pass_bits[i] & 0x1:
+            read_feature(i, 2)
+    return IcfCascade(width=w, height=h, grayscale=gray,
+                      margin=(ml, mt, mr, mb), n_weak=count,
+                      pass_bits=pass_bits, weigh=weigh, thresholds=thresholds,
+                      channel=channel, alpha=alpha, beta=beta,
+                      sat0=sat0, sat1=sat1)
+
+
+def icf_channels(img: jax.Array) -> jax.Array:
+    """ccv_icf twin: 10-channel (color) / 8-channel (gray) float map."""
+    color = img.ndim == 3 and img.shape[-1] == 3
+    theta, mag = basic.gradient(img if not color else img)
+    if color:
+        # strongest-magnitude channel wins (ccv_icf.c:370-380)
+        best = jnp.argmax(mag, axis=-1)
+        mg = jnp.take_along_axis(mag, best[..., None], axis=-1)[..., 0]
+        ag = jnp.take_along_axis(theta, best[..., None], axis=-1)[..., 0]
+    else:
+        mg = mag if mag.ndim == 2 else mag[..., 0]
+        ag = theta if theta.ndim == 2 else theta[..., 0]
+    mg = mg * (1.0 / math.sqrt(2.0))
+    agr = jnp.clip(jnp.where(ag <= 180.0, ag, ag - 180.0), 0, 179.99) / 180.0 * 6.0
+    ag0 = agr.astype(jnp.int32)
+    ag1 = jnp.where(ag0 < 5, ag0 + 1, 0)
+    frac = agr - ag0
+    hog = (jnp.zeros((*mg.shape, 6))
+           .at[..., :].add(0.0))
+    onehot0 = jax.nn.one_hot(ag0, 6) * (mg * (1 - frac))[..., None]
+    onehot1 = jax.nn.one_hot(ag1, 6) * (mg * frac)[..., None]
+    hog = onehot0 + onehot1
+    if color:
+        l, u, v = _luv(img.astype(jnp.float32) / 255.0)
+        return jnp.concatenate([l[..., None], u[..., None], v[..., None],
+                                mg[..., None], hog], axis=-1)
+    g = (img if img.ndim == 2 else img[..., 0]).astype(jnp.float32)
+    return jnp.concatenate([g[..., None], mg[..., None], hog], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("ny", "nx", "step", "chunk"))
+def _eval_level(sat, corner_idx, corner_sign, alpha, beta, pass_bits, weigh,
+                thresholds, ny: int, nx: int, step: int, chunk: int = 128):
+    """Evaluate the full soft cascade on every window of one level.
+
+    sat: (H+1, W+1, C) zero-padded SAT. corner_idx: (n*3*2*4,) linear
+    offsets (incl. channel) into the flattened SAT for each tree/feature/
+    box/corner; corner_sign matches _ccv_icf_run_feature's +/- pattern.
+    """
+    n = alpha.shape[0]
+    Wp, C = sat.shape[1], sat.shape[2]
+    flat = sat.reshape(-1)
+    iy = jnp.arange(ny, dtype=jnp.int32) * step
+    ix = jnp.arange(nx, dtype=jnp.int32) * step
+    base = ((iy[:, None] * Wp + ix[None, :]) * C).reshape(-1)
+    nwin = ny * nx
+    pad = (-nwin) % chunk
+    base_p = jnp.pad(base, (0, pad))
+
+    def eval_chunk(b):
+        g = flat[(b[:, None] + corner_idx[None, :]) % flat.shape[0]]
+        g = g.reshape(b.shape[0], n, 3, 2, 4)
+        # box sums: (BR - BL + TL - TR) * alpha, summed over boxes, + beta
+        fval = jnp.einsum("wnfbc,c->wnfb", g, corner_sign)
+        fval = jnp.einsum("wnfb,nfb->wnf", fval, alpha) + beta
+        c0 = fval[..., 0]
+        c1 = fval[..., 1]
+        c2 = fval[..., 2]
+        has2 = (pass_bits & 1).astype(bool)
+        has1 = (pass_bits & 2).astype(bool)
+        pos_branch = jnp.where(has2, c2 > 0, True)
+        neg_branch = jnp.where(has1, c1 > 0, False)
+        r = jnp.where(c0 > 0, pos_branch, neg_branch)
+        contrib = jnp.where(r, weigh[:, 1], weigh[:, 0])
+        csum = jnp.cumsum(contrib, axis=-1)
+        passed = jnp.all(csum >= thresholds, axis=-1)
+        return passed, csum[:, -1]
+
+    chunks = base_p.reshape(-1, chunk)
+    passed, conf = jax.lax.map(eval_chunk, chunks)
+    return passed.reshape(-1)[:nwin], conf.reshape(-1)[:nwin]
+
+
+def _prepare_tables(c: IcfCascade, sat_cols: int, channels: int):
+    # corners per box: TL(x0,y0) TR(x1+1,y0) BL(x0,y1+1) BR(x1+1,y1+1)
+    x0 = c.sat0[..., 0]
+    y0 = c.sat0[..., 1]
+    x1 = c.sat1[..., 0] + 1
+    y1 = c.sat1[..., 1] + 1
+    xs = np.stack([x0, x1, x0, x1], -1)  # (n,3,2,4)
+    ys = np.stack([y0, y0, y1, y1], -1)
+    ch = np.broadcast_to(c.channel[..., None], xs.shape)
+    idx = ((ys * sat_cols + xs) * channels + ch).reshape(-1).astype(np.int32)
+    sign = np.array([1.0, -1.0, -1.0, 1.0], np.float32)
+    return idx, sign
+
+
+def detect_objects(a, cascades, params: Optional[IcfParams] = None) -> List[Comp]:
+    """ccv_icf_detect_objects twin (type-A cascades)."""
+    from ccv_tpu.core.dense_matrix import as_array
+
+    params = params or IcfParams()
+    if not isinstance(cascades, (list, tuple)):
+        cascades = [cascades]
+    img = as_array(a)
+    if img.ndim == 2:
+        img = img[..., None]
+    comps_all: List[List[Comp]] = [[] for _ in cascades]
+    H, W = img.shape[0], img.shape[1]
+    scale_upto = 1
+    for c in cascades:
+        eff_h = c.height - c.margin[1] - c.margin[3]
+        eff_w = c.width - c.margin[0] - c.margin[2]
+        scale_upto = max(scale_upto, int(math.log2(min(H / eff_h, W / eff_w))) + 1)
+    pyr = [img]
+    for _ in range(1, scale_upto):
+        pyr.append(resample.sample_down(pyr[-1]))
+    scale_ratio = 2.0 ** (1.0 / (params.interval + 1))
+    for octave, level in enumerate(pyr):
+        for ci, casc in enumerate(cascades):
+            gray = casc.grayscale
+            scale = 1.0
+            for k in range(params.interval + 1):
+                rows = int(level.shape[0] / scale + 0.5)
+                cols = int(level.shape[1] / scale + 0.5)
+                if rows < casc.height or cols < casc.width:
+                    break
+                image = level if k == 0 else resample.resample(
+                    level, rows=rows, cols=cols, rows_scale=rows / level.shape[0],
+                    cols_scale=cols / level.shape[1], interp=resample.INTER_AREA)
+                if gray and image.shape[-1] == 3:
+                    from ccv_tpu.core.io import rgb_to_gray_u8
+                    image = jnp.asarray(rgb_to_gray_u8(np.asarray(image)))[..., None]
+                ml, mt, mr, mb = casc.margin
+                image = jnp.pad(image, [(mt, mb), (ml, mr), (0, 0)])
+                chans = icf_channels(image[..., 0] if gray else image)
+                sat = algebra.sat(chans, padding=algebra.PADDING_ZERO)
+                sat = sat.astype(jnp.float32)
+                mrows, mcols = sat.shape[0] - 1, sat.shape[1] - 1
+                step = params.step_through
+                ny = max(0, -(-(mrows - casc.height) // step))
+                nx = max(0, -(-(mcols - casc.width) // step))
+                if ny == 0 or nx == 0:
+                    scale *= scale_ratio
+                    continue
+                idx, sign = _prepare_tables(casc, sat.shape[1], sat.shape[2])
+                passed, conf = _eval_level(
+                    sat, jnp.asarray(idx), jnp.asarray(sign),
+                    jnp.asarray(casc.alpha), jnp.asarray(casc.beta),
+                    jnp.asarray(casc.pass_bits.astype(np.int32)),
+                    jnp.asarray(casc.weigh), jnp.asarray(casc.thresholds),
+                    ny=ny, nx=nx, step=step)
+                passed = np.asarray(passed)
+                conf = np.asarray(conf)
+                eff_w = casc.width - ml - mr
+                eff_h = casc.height - mt - mb
+                sc = scale * (1 << octave)
+                for widx in np.nonzero(passed)[0]:
+                    wy, wx = divmod(int(widx), nx)
+                    comps_all[ci].append(Comp(
+                        x=int((wx * step + 0.5) * sc - 0.5),
+                        y=int((wy * step + 0.5) * sc - 0.5),
+                        width=int(eff_w * sc), height=int(eff_h * sc),
+                        confidence=float(conf[widx]),
+                        classification_id=ci + 1))
+                scale *= scale_ratio
+    # grouping + inclusion filtering (ccv_icf.c:2184-2286)
+    result: List[Comp] = []
+    for comps in comps_all:
+        if params.min_neighbors == 0:
+            result += comps
+            continue
+        if not comps:
+            continue
+
+        def same(r1, r2):
+            d = int(min(r1.width, r1.height) * 0.25 + 0.5)
+            return (r2.classification_id == r1.classification_id
+                    and r1.x - d <= r2.x <= r1.x + d
+                    and r1.y - d <= r2.y <= r1.y + d
+                    and r2.width <= int(r1.width * 1.5 + 0.5)
+                    and int(r2.width * 1.5 + 0.5) >= r1.width
+                    and r2.height <= int(r1.height * 1.5 + 0.5)
+                    and int(r2.height * 1.5 + 0.5) >= r1.height)
+
+        idx = group(comps, same)
+        ng = max(idx) + 1
+        best: List[Optional[Comp]] = [None] * ng
+        counts = [0] * ng
+        for cmp_, g in zip(comps, idx):
+            counts[g] += 1
+            if best[g] is None or cmp_.confidence > best[g].confidence:
+                best[g] = cmp_
+        seq2 = [dataclasses.replace(b, neighbors=n)
+                for b, n in zip(best, counts) if n >= params.min_neighbors]
+        # mutual inclusion filters (ccv_icf.c:2228-2283): first mute large
+        # rects containing a better smaller one (muted rects still act as
+        # containers in the second pass, like the reference's negated ids)
+        muted = [False] * len(seq2)
+        for i, r2 in enumerate(seq2):
+            d = int(min(r2.width, r2.height) * 0.25 + 0.5)
+            for j, r1 in enumerate(seq2):
+                if i == j:
+                    continue
+                if (r1.x >= r2.x - d and r1.y >= r2.y - d
+                        and r1.x + r1.width <= r2.x + r2.width + d
+                        and r1.y + r1.height <= r2.y + r2.height + d
+                        and r2.confidence <= r1.confidence
+                        and r2.neighbors < r1.neighbors):
+                    muted[i] = True
+                    break
+        for i, r1 in enumerate(seq2):
+            if muted[i]:
+                continue
+            flag = True
+            for j, r2 in enumerate(seq2):
+                d = int(min(r2.width, r2.height) * 0.25 + 0.5)
+                if (i != j and r1.x >= r2.x - d and r1.y >= r2.y - d
+                        and r1.x + r1.width <= r2.x + r2.width + d
+                        and r1.y + r1.height <= r2.y + r2.height + d
+                        and (r2.confidence > r1.confidence
+                             or r2.neighbors >= r1.neighbors)):
+                    flag = False
+                    break
+            if flag:
+                result.append(r1)
+    return result

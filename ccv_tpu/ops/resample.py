@@ -39,17 +39,50 @@ INTER_LANCZOS = 0x08
 # weight-matrix builders (host / numpy, static shapes)
 # ---------------------------------------------------------------------------
 
-def area_weights(n_out: int, n_in: int, scale: float, quantize: bool) -> np.ndarray:
+def area_weights(n_out: int, n_in: int, scale: float, quantize: bool,
+                 axis: str = "x", normalize: bool = True) -> np.ndarray:
     """(n_out, n_in) interval-overlap weights for one axis.
 
     Follows the reference's alpha rules (lib/ccv_resample.c:160-186): partial
     cells at interval edges get fractional weight, interior cells weight 1;
     if the interval extends past the image, the last cell absorbs the excess
-    (the "residue scale-up", :202-236). ``quantize`` reproduces the 8U path's
-    /256 fixed-point alphas.
+    (the "residue scale-up", :202-236).
+
+    ``quantize`` reproduces the 8U fast path's /256 fixed point. The X axis
+    quantizes each partial alpha independently (the xofs table); the Y axis
+    quantizes the *split* at each boundary row so the two shares sum to 256
+    (beta / 256 - beta in the streaming loop, :78-118).
     """
     inv = 1.0 / scale  # source cells per output cell
     w = np.zeros((n_out, n_in), dtype=np.float64)
+    if quantize and axis == "y":
+        dy = 0
+        dy_weight_256 = 0
+        for sy in range(n_in):
+            if dy >= n_out:
+                break
+            if (dy + 1) * inv <= sy + 1:
+                beta = int(max(sy + 1 - (dy + 1) * inv, 0.0) * 256)
+                beta1 = 256 - beta
+                carry = int(inv * 256) if sy == n_in - 1 else beta
+                if beta <= 0:
+                    w[dy, sy] += 1.0  # full row, and nothing carries
+                else:
+                    w[dy, sy] += beta1 / 256.0
+                    if dy + 1 < n_out:
+                        w[dy + 1, sy] += carry / 256.0
+                if sy == n_in - 1 and beta <= 0 and dy + 1 < n_out:
+                    # residue rows past the image get the scaled-up carry
+                    w[dy + 1, sy] += int(inv * 256) / 256.0
+                dy_weight_256 = beta
+                dy += 1
+            else:
+                if sy == n_in - 1:
+                    w[dy, sy] += (int(inv * 256) - dy_weight_256) / 256.0
+                else:
+                    w[dy, sy] += 1.0
+                    dy_weight_256 += 256
+        return w  # unnormalized: caller divides by inv_scale_256
     for d in range(n_out):
         fs1 = d * inv
         fs2 = fs1 + inv
@@ -69,6 +102,8 @@ def area_weights(n_out: int, n_in: int, scale: float, quantize: bool) -> np.ndar
             w[d, min(s2, n_in - 1)] += a
         if fs2 > n_in:  # residue scale-up at the boundary
             w[d, n_in - 1] += fs2 - n_in
+    if not normalize:
+        return w
     return (w / inv).astype(np.float64)
 
 
@@ -132,8 +167,19 @@ def resample(a, rows: int = 0, cols: int = 0, rows_scale: float = 0.0,
     is_int = jnp.issubdtype(a.dtype, jnp.integer)
     if (interp & INTER_AREA) and H >= rows and W >= cols:
         quant = a.dtype == jnp.uint8 and (H * W) // (rows * cols) < 0x100
-        wy = area_weights(rows, H, rows_scale, quantize=quant)
-        wx = area_weights(cols, W, cols_scale, quantize=quant)
+        if quant:
+            # 8U fast path (_ccv_resample_area_8u): quantized weights and a
+            # truncating division by inv_scale_256 = int(sx*sy*65536)
+            inv_scale_256 = int((1.0 / cols_scale) * (1.0 / rows_scale) * 0x10000)
+            wy = area_weights(rows, H, rows_scale, quantize=True, axis="y",
+                              normalize=False)
+            wx = area_weights(cols, W, cols_scale, quantize=True, axis="x",
+                              normalize=False)
+            out = _apply_separable(a, wy, wx) * (65536.0 / inv_scale_256)
+            out = jnp.clip(jnp.floor(out), 0, 255).astype(a.dtype)
+            return from_hwc(out, had)
+        wy = area_weights(rows, H, rows_scale, quantize=False)
+        wx = area_weights(cols, W, cols_scale, quantize=False)
         out = _apply_separable(a, wy, wx)
     elif interp & (INTER_CUBIC | INTER_LINEAR | INTER_LANCZOS):
         wy = cubic_weights(rows, H, rows_scale, quantize=is_int)
