@@ -31,13 +31,32 @@ hits = 0
 misses = 0
 
 
+def _native_siphash():
+    try:
+        from ccv_tpu.core import native
+
+        if native.load() is not None:
+            return native.siphash24
+    except Exception:
+        pass
+    return None
+
+
+_siphash = _native_siphash()
+
+
 def generate_signature(data: bytes, *extra) -> int:
-    """64-bit content signature (ccv_cache_generate_signature twin)."""
-    h = hashlib.blake2b(digest_size=8)
-    h.update(data)
-    for e in extra:
-        h.update(repr(e).encode())
-    sig = int.from_bytes(h.digest(), "little")
+    """64-bit content signature (ccv_cache_generate_signature twin).
+
+    Uses the native siphash-2-4 (native/ccv_tpu_native.cpp) when built,
+    falling back to truncated blake2b."""
+    if extra:
+        data = data + b"|" + repr(extra).encode()
+    if _siphash is not None:
+        sig = _siphash(data)
+    else:
+        h = hashlib.blake2b(data, digest_size=8)
+        sig = int.from_bytes(h.digest(), "little")
     return sig or 1  # 0 is the "no signature" sentinel
 
 

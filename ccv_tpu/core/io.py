@@ -95,12 +95,22 @@ def read(path: str, flags: int = 0) -> DenseMatrix:
     if head == b"CCVBINDM":
         return _read_ccv_binary(path)
 
-    from PIL import Image
+    arr = None
+    try:  # native libpng/libjpeg decoder (native/ccv_tpu_native.cpp)
+        from ccv_tpu.core import native
 
-    img = Image.open(path)
-    if img.mode in ("P", "RGBA", "CMYK", "LA"):
-        img = img.convert("RGB")
-    arr = np.asarray(img)
+        decoded = native.decode_image(path)
+        if decoded is not None:
+            arr = decoded[0]
+    except Exception:
+        arr = None
+    if arr is None:
+        from PIL import Image
+
+        img = Image.open(path)
+        if img.mode in ("P", "RGBA", "CMYK", "LA"):
+            img = img.convert("RGB")
+        arr = np.asarray(img)
     want_gray = (flags & IO_GRAY) == IO_GRAY and (flags & IO_RGB_COLOR) != IO_RGB_COLOR
     want_rgb = (flags & IO_RGB_COLOR) == IO_RGB_COLOR
     if arr.ndim == 3 and arr.shape[2] >= 3:

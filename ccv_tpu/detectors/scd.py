@@ -231,12 +231,90 @@ def _prepare_feature_tables(cascade: ScdClassifierCascade, sat_cols: int):
     return off, box_sign, onehot
 
 
+def _level_specs(H: int, W: int, cascade: ScdClassifierCascade,
+                 params: ScdParams):
+    """Host-side plan: one (octave, k, rows, cols, ny, nx, scale) per level."""
+    eff_h = cascade.height - cascade.margin[1] - cascade.margin[3]
+    eff_w = cascade.width - cascade.margin[0] - cascade.margin[2]
+    scale_upto = max(1, int(math.log2(min(H / eff_h, W / eff_w))) + 1)
+    scale_ratio = 2.0 ** (1.0 / (params.interval + 1))
+    specs = []
+    oh, ow = H, W
+    for octave in range(scale_upto):
+        scale = 1.0
+        for k in range(params.interval + 1):
+            rows = int(oh / scale + 0.5)
+            cols = int(ow / scale + 0.5)
+            if rows >= cascade.height and cols >= cascade.width:
+                mrows = rows + cascade.margin[1] + cascade.margin[3]
+                mcols = cols + cascade.margin[0] + cascade.margin[2]
+                step = params.step_through
+                ny = max(0, -(-(mrows - cascade.height) // step))
+                nx = max(0, -(-(mcols - cascade.width) // step))
+                if ny and nx:
+                    specs.append((octave, k, rows, cols, ny, nx, scale))
+            scale *= scale_ratio
+        oh, ow = oh // 2, ow // 2
+    return tuple(specs), scale_upto
+
+
+# cache of traced whole-pyramid programs keyed by (shape, cascade geometry)
+_PROGRAM_CACHE: dict = {}
+
+
+def _get_program(H: int, W: int, cascade: ScdClassifierCascade,
+                 params: ScdParams):
+    key = (H, W, cascade.width, cascade.height, cascade.margin,
+           cascade.n_features, params.interval, params.step_through)
+    if key in _PROGRAM_CACHE:
+        return _PROGRAM_CACHE[key]
+    specs, scale_upto = _level_specs(H, W, cascade, params)
+    step = params.step_through
+    # per-level constant corner offsets (sat width differs per level)
+    off_by_mcols = {}
+
+    def program(a, w, bias, onehot, thresholds, last_count):
+        """The WHOLE pyramid + detect as one XLA program: one dispatch."""
+        box_sign = jnp.asarray([1.0, -1.0, -1.0, 1.0], jnp.float32)
+        pyr = [a]
+        for _ in range(1, scale_upto):
+            pyr.append(resample.sample_down(pyr[-1]))
+        outs = []
+        for (octave, k, rows, cols, ny, nx, scale) in specs:
+            level = pyr[octave]
+            image = level if k == 0 else resample.resample(
+                level, rows=rows, cols=cols, rows_scale=rows / level.shape[0],
+                cols_scale=cols / level.shape[1], interp=resample.INTER_AREA)
+            if any(cascade.margin):
+                pads = [(cascade.margin[1], cascade.margin[3]),
+                        (cascade.margin[0], cascade.margin[2]), (0, 0)]
+                image = jnp.pad(image, pads)
+            smap = scd_map(image)
+            sat = algebra.sat(smap, padding=algebra.PADDING_ZERO)
+            sat8 = sat[..., :8].astype(jnp.float32)
+            mcols = sat.shape[1]
+            if mcols not in off_by_mcols:
+                off, _, _ = _prepare_feature_tables(cascade, mcols)
+                off_by_mcols[mcols] = jnp.asarray(off)
+            passed, conf = _eval_level.__wrapped__(
+                sat8, off_by_mcols[mcols], box_sign, w, bias, onehot,
+                thresholds, last_count, ny=ny, nx=nx, step=step,
+                chunk=min(1024, ny * nx))
+            outs.append((passed, conf))
+        return outs
+
+    jitted = jax.jit(program, static_argnames=())
+    _PROGRAM_CACHE[key] = (jitted, specs)
+    return jitted, specs
+
+
 def detect(img, cascade: ScdClassifierCascade,
            params: Optional[ScdParams] = None) -> List[Comp]:
     """ccv_scd_detect_objects twin (ccv_scd.c:1653) for a single cascade.
 
-    Pyramid layout: octave chain of sample_down; per octave,
-    interval+1 INTER_AREA levels at ratio 2^(1/(interval+1)).
+    The full pyramid (octave chain of sample_down; interval+1 INTER_AREA
+    levels per octave) and every window's cascade evaluation run as ONE
+    jitted XLA program — a single device dispatch per image.
     """
     from ccv_tpu.core.dense_matrix import DenseMatrix, as_array
 
@@ -254,57 +332,27 @@ def detect(img, cascade: ScdClassifierCascade,
         H, W = H2, W2
     eff_h = cascade.height - cascade.margin[1] - cascade.margin[3]
     eff_w = cascade.width - cascade.margin[0] - cascade.margin[2]
-    scale_upto = max(1, int(math.log2(min(H / eff_h, W / eff_w))) + 1)
-
-    pyr = [a]
-    for _ in range(1, scale_upto):
-        pyr.append(resample.sample_down(pyr[-1]))
-
+    program, specs = _get_program(H, W, cascade, params)
+    outs = program(a, jnp.asarray(cascade.w), jnp.asarray(cascade.bias),
+                   jnp.asarray(_prepare_feature_tables(cascade, 1)[2]),
+                   jnp.asarray(cascade.thresholds),
+                   float(cascade.stage_counts[-1]))
+    outs = jax.device_get(outs)
     comps: List[Comp] = []
-    scale_ratio = 2.0 ** (1.0 / (params.interval + 1))
-    for octave, level in enumerate(pyr):
-        rows0, cols0 = level.shape[0], level.shape[1]
-        scale = 1.0
-        for k in range(params.interval + 1):
-            rows = int(rows0 / scale + 0.5)
-            cols = int(cols0 / scale + 0.5)
-            if rows < cascade.height or cols < cascade.width:
-                break
-            image = level if k == 0 else resample.resample(
-                level, rows=rows, cols=cols, rows_scale=rows / rows0,
-                cols_scale=cols / cols0, interp=resample.INTER_AREA)
-            if any(cascade.margin):
-                pads = [(cascade.margin[1], cascade.margin[3]),
-                        (cascade.margin[0], cascade.margin[2]), (0, 0)]
-                image = jnp.pad(image, pads)
-            smap = scd_map(image)
-            sat = algebra.sat(smap, padding=algebra.PADDING_ZERO)
-            sat8 = sat[..., :8].astype(jnp.float32)
-            mrows, mcols = sat.shape[0] - 1, sat.shape[1] - 1
-            step = params.step_through
-            ny = max(0, -(-(mrows - cascade.height) // step))
-            nx = max(0, -(-(mcols - cascade.width) // step))
-            if ny == 0 or nx == 0:
-                scale *= scale_ratio
-                continue
-            off, box_sign, onehot = _prepare_feature_tables(cascade, sat.shape[1])
-            passed, conf = _eval_level(
-                sat8, jnp.asarray(off), jnp.asarray(box_sign),
-                jnp.asarray(cascade.w), jnp.asarray(cascade.bias),
-                jnp.asarray(onehot), jnp.asarray(cascade.thresholds),
-                float(cascade.stage_counts[-1]), ny=ny, nx=nx, step=step)
-            passed = np.asarray(passed)
-            conf = np.asarray(conf)
-            if passed.any():
-                sc = (scale / up_ratio) * (1 << octave)
-                for widx in np.nonzero(passed)[0]:
-                    wy, wx = divmod(int(widx), nx)
-                    comps.append(Comp(
-                        x=int((wx * step + 0.5) * sc - 0.5),
-                        y=int((wy * step + 0.5) * sc - 0.5),
-                        width=int(eff_w * sc),
-                        height=int(eff_h * sc),
-                        confidence=float(conf[widx]) ,
-                        classification_id=1))
-            scale *= scale_ratio
+    step = params.step_through
+    for (octave, k, rows, cols, ny, nx, scale), (passed, conf) in zip(specs, outs):
+        passed = np.asarray(passed)
+        if not passed.any():
+            continue
+        conf = np.asarray(conf)
+        sc = (scale / up_ratio) * (1 << octave)
+        for widx in np.nonzero(passed)[0]:
+            wy, wx = divmod(int(widx), nx)
+            comps.append(Comp(
+                x=int((wx * step + 0.5) * sc - 0.5),
+                y=int((wy * step + 0.5) * sc - 0.5),
+                width=int(eff_w * sc),
+                height=int(eff_h * sc),
+                confidence=float(conf[widx]),
+                classification_id=1))
     return merge_detections(comps, params.min_neighbors)

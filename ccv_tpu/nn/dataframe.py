@@ -1,0 +1,168 @@
+"""Columnar data pipeline (reference: lib/nnc/ccv_cnnp_dataframe*.c).
+
+The reference's dataframe is a lazy column store: derived columns are
+computed by map functions on demand, iterators prefetch batches onto a
+stream, add-ons provide image loading / random jitter / one-hot / batching /
+copy-to-GPU. The TPU twin keeps the same surface:
+
+- ``Dataframe.from_array`` / ``from_csv``      (dataframe_addons.c:18, _csv.c)
+- ``df.map(col, fn)``                          derived columns, lazy + cached
+- ``df.shuffle()``                             (dataframe.c shuffle)
+- ``df.batch(n)``                              combine rows into arrays
+- ``df.one_hot(col, n)``, ``df.read_image``, ``df.random_jitter``
+- ``df.iter(prefetch=k)``                      background-thread prefetch with
+                                               device_put (copy-to-GPU twin)
+"""
+
+from __future__ import annotations
+
+import csv as _csv
+import queue
+import threading
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+class Dataframe:
+    def __init__(self, columns: Dict[str, Any], n: int):
+        self._columns = dict(columns)   # name -> list | ndarray | (fn, src)
+        self._derived: Dict[str, tuple] = {}
+        self._cache: Dict[tuple, Any] = {}
+        self._order = np.arange(n)
+        self.n = n
+
+    # -- constructors -------------------------------------------------------
+    @classmethod
+    def from_array(cls, name: str, array) -> "Dataframe":
+        return cls({name: array}, len(array))
+
+    @classmethod
+    def from_arrays(cls, **arrays) -> "Dataframe":
+        ns = {len(v) for v in arrays.values()}
+        assert len(ns) == 1, "columns must share length"
+        return cls(arrays, ns.pop())
+
+    @classmethod
+    def from_csv(cls, path: str, header: bool = True) -> "Dataframe":
+        """ccv_cnnp_dataframe_from_csv_new twin (dataframe_csv.c)."""
+        with open(path, newline="") as f:
+            rows = list(_csv.reader(f))
+        if not rows:
+            return cls({}, 0)
+        if header:
+            names = rows[0]
+            rows = rows[1:]
+        else:
+            names = [str(i) for i in range(len(rows[0]))]
+        cols = {nm: [r[i] if i < len(r) else "" for r in rows]
+                for i, nm in enumerate(names)}
+        return cls(cols, len(rows))
+
+    # -- transforms ----------------------------------------------------------
+    def map(self, name: str, fn: Callable, src: Sequence[str]) -> "Dataframe":
+        """Derive a new column: fn(*src values) per row (dataframe.c:110)."""
+        self._derived[name] = (fn, tuple(src))
+        return self
+
+    def one_hot(self, name: str, src: str, classes: int,
+                dtype=np.float32) -> "Dataframe":
+        def fn(v):
+            out = np.zeros(classes, dtype)
+            out[int(v)] = 1
+            return out
+
+        return self.map(name, fn, [src])
+
+    def read_image(self, name: str, src: str, gray: bool = False) -> "Dataframe":
+        from ccv_tpu.core.io import read, IO_GRAY, IO_RGB_COLOR
+
+        def fn(path):
+            return read(path, IO_GRAY if gray else IO_RGB_COLOR).numpy()
+
+        return self.map(name, fn, [src])
+
+    def random_jitter(self, name: str, src: str, size: int,
+                      brightness: float = 0.0, contrast: float = 0.0,
+                      saturation: float = 0.0, seed: int = 0) -> "Dataframe":
+        """ccv_cnnp_dataframe_image_random_jitter twin (random crop + color
+        jitter, host-side numpy to keep the device path deterministic)."""
+        rng = np.random.default_rng(seed)
+
+        def fn(img):
+            h, w = img.shape[0], img.shape[1]
+            if h > size and w > size:
+                y = rng.integers(0, h - size)
+                x = rng.integers(0, w - size)
+                img = img[y:y + size, x:x + size]
+            out = img.astype(np.float32)
+            if brightness:
+                out = out + rng.uniform(-brightness, brightness) * 255
+            if contrast:
+                c = 1 + rng.uniform(-contrast, contrast)
+                out = (out - out.mean()) * c + out.mean()
+            if saturation and out.ndim == 3:
+                gs = out @ np.array([0.299, 0.587, 0.114], np.float32)
+                s = 1 + rng.uniform(-saturation, saturation)
+                out = (out - gs[..., None]) * s + gs[..., None]
+            return np.clip(out, 0, 255)
+
+        return self.map(name, fn, [src])
+
+    def shuffle(self, seed: Optional[int] = None) -> "Dataframe":
+        rng = np.random.default_rng(seed)
+        self._order = rng.permutation(self.n)
+        self._cache.clear()
+        return self
+
+    # -- access ---------------------------------------------------------------
+    def _row(self, name: str, i: int):
+        key = (name, i)
+        if key in self._cache:
+            return self._cache[key]
+        if name in self._columns:
+            val = self._columns[name][i]
+        else:
+            fn, src = self._derived[name]
+            val = fn(*(self._row(s, i) for s in src))
+            self._cache[key] = val
+        return val
+
+    def row(self, i: int, columns: Sequence[str]):
+        j = int(self._order[i])
+        return tuple(self._row(c, j) for c in columns)
+
+    def batch(self, columns: Sequence[str], batch_size: int,
+              drop_remainder: bool = True):
+        """Yield batches as stacked numpy arrays (batching add-on)."""
+        nb = self.n // batch_size if drop_remainder else -(-self.n // batch_size)
+        for b in range(nb):
+            rows = [self.row(b * batch_size + i, columns)
+                    for i in range(min(batch_size, self.n - b * batch_size))]
+            yield tuple(np.stack([r[c] for r in rows]) for c in range(len(columns)))
+
+    def iter(self, columns: Sequence[str], batch_size: int,
+             prefetch: int = 2, device_put: bool = True):
+        """Prefetching iterator (ccv_cnnp_dataframe_iter_prefetch twin):
+        a background thread prepares batches and stages them on device."""
+        q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        stop = object()
+
+        def producer():
+            try:
+                for batch in self.batch(columns, batch_size):
+                    if device_put:
+                        import jax
+
+                        batch = jax.device_put(batch)
+                    q.put(batch)
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
