@@ -172,63 +172,66 @@ def scd_map(img: jax.Array) -> jax.Array:
 # batched window evaluation
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("ny", "nx", "step", "chunk"))
-def _eval_level(sat8, corner_off, box_sign, w, bias, stage_onehot, thresholds,
-                last_count, ny: int, nx: int, step: int, chunk: int = 256):
-    """Evaluate every window on one pyramid level.
+def _eval_level(sat8, M, offsets, w, bias, stage_onehot, thresholds,
+                last_count, ny: int, nx: int, step: int):
+    """Evaluate every window on one pyramid level — gather-free.
+
+    The windows form a stride-`step` grid, so each distinct feature-corner
+    offset (oy, ox) corresponds to ONE strided slice of the SAT; the
+    4-corner box sums of all features then become a single dense matmul
+    ``M @ D`` on the MXU (M: (F*4, nd) +-1 corner matrix; D: (nd, nwin*8)
+    stacked slices). This replaces the element gather that dominated the
+    first implementation.
 
     sat8: (H+1, W+1, 8) zero-padded SAT of the first 8 scd channels.
-    corner_off: (F*16,) linear offsets of every feature corner into the
-    flattened SAT; box_sign: (16,) +-1 pattern for the 4 corners x 4 boxes.
     Returns (pass_mask, confidence) of shape (ny*nx,).
     """
-    Wp = sat8.shape[1]
-    flat = sat8.reshape(-1, 8)
-    iy = jnp.arange(ny, dtype=jnp.int32) * step
-    ix = jnp.arange(nx, dtype=jnp.int32) * step
-    base = (iy[:, None] * Wp + ix[None, :]).reshape(-1)  # (nwin,)
-    nwin = ny * nx
     F = w.shape[0]
-
-    pad = (-nwin) % chunk
-    base_p = jnp.pad(base, (0, pad))
-
-    def eval_chunk(b):
-        # gather: (chunk, F*16, 8)
-        g = flat[(b[:, None] + corner_off[None, :]) % flat.shape[0]]
-        g = g.reshape(b.shape[0], F, 4, 4, 8)
-        # box sum: S[dy,dx] - S[dy,sx] - S[sy,dx] + S[sy,sx]
-        surf = jnp.einsum("wfbce,c->wfbe", g, box_sign)  # (chunk, F, 4, 8)
-        surf = surf.reshape(b.shape[0], F, 32)
-        # L2Hys: normalize, clamp, renormalize (ccv_scd.c:502-533)
-        inv = 1.0 / (jnp.sqrt(jnp.sum(surf * surf, axis=-1, keepdims=True)) + 1e-6)
-        surf = jnp.clip(surf * inv, -_THETA, _THETA)
-        inv2 = 1.0 / (jnp.sqrt(jnp.sum(surf * surf, axis=-1, keepdims=True)) + 1e-6)
-        surf = surf * inv2
-        logit = jnp.einsum("wfk,fk->wf", surf, w) + bias  # (chunk, F)
-        resp = jnp.tanh(0.5 * logit)  # (exp(x)-1)/(exp(x)+1)
-        v = resp @ stage_onehot  # (chunk, n_stages)
-        passed = jnp.all(v > thresholds, axis=-1)
-        conf = v[:, -1] / last_count + (thresholds.shape[0] - 1)
-        return passed, conf
-
-    chunks = base_p.reshape(-1, chunk)
-    passed, conf = jax.lax.map(eval_chunk, chunks)
-    return passed.reshape(-1)[:nwin], conf.reshape(-1)[:nwin]
+    nwin = ny * nx
+    slices = [
+        jax.lax.slice(sat8, (int(oy), int(ox), 0),
+                      (int(oy) + (ny - 1) * step + 1,
+                       int(ox) + (nx - 1) * step + 1, 8),
+                      (step, step, 1))
+        for oy, ox in offsets
+    ]
+    D = jnp.stack(slices).reshape(len(offsets), nwin * 8)
+    box = jnp.matmul(M, D, preferred_element_type=jnp.float32)  # (F*4, nwin*8)
+    surf = box.reshape(F, 4, nwin, 8).transpose(2, 0, 1, 3).reshape(nwin, F, 32)
+    # L2Hys: normalize, clamp, renormalize (ccv_scd.c:502-533)
+    inv = jax.lax.rsqrt(jnp.sum(surf * surf, axis=-1, keepdims=True)) \
+        if False else 1.0 / (jnp.sqrt(jnp.sum(surf * surf, axis=-1, keepdims=True)) + 1e-6)
+    surf = jnp.clip(surf * inv, -_THETA, _THETA)
+    inv2 = 1.0 / (jnp.sqrt(jnp.sum(surf * surf, axis=-1, keepdims=True)) + 1e-6)
+    surf = surf * inv2
+    logit = jnp.einsum("wfk,fk->wf", surf, w) + bias  # (nwin, F)
+    resp = jnp.tanh(0.5 * logit)  # (exp(x)-1)/(exp(x)+1)
+    v = resp @ stage_onehot  # (nwin, n_stages)
+    passed = jnp.all(v > thresholds, axis=-1)
+    conf = v[:, -1] / last_count + (thresholds.shape[0] - 1)
+    return passed, conf
 
 
-def _prepare_feature_tables(cascade: ScdClassifierCascade, sat_cols: int):
-    """Host-side static tables for one level width."""
-    # corner order per box: (sy,sx), (sy,dx), (dy,sx), (dy,dx)
+def _prepare_feature_tables(cascade: ScdClassifierCascade):
+    """Host-side static tables: distinct corner offsets + the +-1 corner
+    matrix M (F*4 boxes x nd distinct offsets), and the stage one-hot."""
+    # corner order per box: (sy,sx), (sy,dx), (dy,sx), (dy,dx) with signs
+    # +1, -1, -1, +1 (box sum off the SAT)
     ys = np.stack([cascade.sy, cascade.sy, cascade.dy, cascade.dy], axis=-1)  # (F,4,4)
     xs = np.stack([cascade.sx, cascade.dx, cascade.sx, cascade.dx], axis=-1)
-    off = (ys * sat_cols + xs).reshape(-1).astype(np.int32)  # (F*16,)
-    box_sign = np.array([1.0, -1.0, -1.0, 1.0], np.float32)
+    signs = np.array([1.0, -1.0, -1.0, 1.0], np.float32)
     F = cascade.n_features
+    pairs = np.stack([ys, xs], axis=-1).reshape(-1, 2)  # (F*4*4, 2)
+    uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+    nd = len(uniq)
+    M = np.zeros((F * 4, nd), np.float32)
+    rows = np.repeat(np.arange(F * 4), 4)
+    np.add.at(M, (rows, inv), np.tile(signs, F * 4))
+    offsets = [(int(oy), int(ox)) for oy, ox in uniq]
     n_stages = cascade.n_stages
     onehot = np.zeros((F, n_stages), np.float32)
     onehot[np.arange(F), cascade.stage_of] = 1.0
-    return off, box_sign, onehot
+    return M, tuple(offsets), onehot
 
 
 def _level_specs(H: int, W: int, cascade: ScdClassifierCascade,
@@ -270,12 +273,11 @@ def _get_program(H: int, W: int, cascade: ScdClassifierCascade,
         return _PROGRAM_CACHE[key]
     specs, scale_upto = _level_specs(H, W, cascade, params)
     step = params.step_through
-    # per-level constant corner offsets (sat width differs per level)
-    off_by_mcols = {}
+    M_np, offsets, _ = _prepare_feature_tables(cascade)
 
     def program(a, w, bias, onehot, thresholds, last_count):
         """The WHOLE pyramid + detect as one XLA program: one dispatch."""
-        box_sign = jnp.asarray([1.0, -1.0, -1.0, 1.0], jnp.float32)
+        M = jnp.asarray(M_np)
         pyr = [a]
         for _ in range(1, scale_upto):
             pyr.append(resample.sample_down(pyr[-1]))
@@ -292,14 +294,9 @@ def _get_program(H: int, W: int, cascade: ScdClassifierCascade,
             smap = scd_map(image)
             sat = algebra.sat(smap, padding=algebra.PADDING_ZERO)
             sat8 = sat[..., :8].astype(jnp.float32)
-            mcols = sat.shape[1]
-            if mcols not in off_by_mcols:
-                off, _, _ = _prepare_feature_tables(cascade, mcols)
-                off_by_mcols[mcols] = jnp.asarray(off)
-            passed, conf = _eval_level.__wrapped__(
-                sat8, off_by_mcols[mcols], box_sign, w, bias, onehot,
-                thresholds, last_count, ny=ny, nx=nx, step=step,
-                chunk=min(1024, ny * nx))
+            passed, conf = _eval_level(
+                sat8, M, offsets, w, bias, onehot,
+                thresholds, last_count, ny=ny, nx=nx, step=step)
             outs.append((passed, conf))
         return outs
 
@@ -334,7 +331,7 @@ def detect(img, cascade: ScdClassifierCascade,
     eff_w = cascade.width - cascade.margin[0] - cascade.margin[2]
     program, specs = _get_program(H, W, cascade, params)
     outs = program(a, jnp.asarray(cascade.w), jnp.asarray(cascade.bias),
-                   jnp.asarray(_prepare_feature_tables(cascade, 1)[2]),
+                   jnp.asarray(_prepare_feature_tables(cascade)[2]),
                    jnp.asarray(cascade.thresholds),
                    float(cascade.stage_counts[-1]))
     outs = jax.device_get(outs)
