@@ -9,48 +9,73 @@ street.png (640x480 = 0.307 MP) in ~249 ms single-image => ~1.23 MP/s
 (consistent with doc/scd.rst's 381 ms on a smaller grayscale image).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Every stage fails loudly: a stage error still prints the JSON line, with
+value 0 and an "error" field naming the stage.
 """
 
 import json
 import os
 import sys
 import time
-
-# ensure the real device (the session exports JAX_PLATFORMS=axon for TPU)
-os.environ.setdefault("JAX_PLATFORMS", os.environ.get("JAX_PLATFORMS", ""))
+import traceback
 
 import numpy as np
 
 REFERENCE_CPU_MPS = 1.23  # measured: /tmp/refbuild scddetect street.png 249ms
 
 
-def main():
-    import jax
+def _fail(stage: str, exc: BaseException):
+    print(json.dumps({
+        "metric": "pyramid+scd_detect throughput",
+        "value": 0.0, "unit": "MP/s/chip", "vs_baseline": 0.0,
+        "error": f"{stage}: {type(exc).__name__}: {exc}",
+    }))
+    traceback.print_exc(file=sys.stderr)
+    sys.exit(1)
 
-    from ccv_tpu.core.io import read, IO_RGB_COLOR
-    from ccv_tpu.detectors import scd
+
+def main():
+    try:
+        import jax
+        # persistent compile cache: the ~24 per-level programs compile once
+        # per machine, so the driver's fresh-process run skips straight to
+        # the cached executables
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        from ccv_tpu.core.io import read, IO_RGB_COLOR
+        from ccv_tpu.detectors import scd
+    except Exception as e:  # noqa: BLE001
+        _fail("import", e)
 
     img_path = "/root/reference/samples/street.png"
     if not os.path.exists(img_path):
-        print(json.dumps({"metric": "pyramid+scd_detect", "value": 0.0,
-                          "unit": "MP/s/chip", "vs_baseline": 0.0,
-                          "error": "sample image missing"}))
-        return
-    img = read(img_path, IO_RGB_COLOR)
-    h, w = img.rows, img.cols
-    megapixels = h * w / 1e6
-    cascade = scd.load_cascade("/root/reference/samples/face.sqlite3")
+        _fail("sample image", FileNotFoundError(img_path))
+    try:
+        img = read(img_path, IO_RGB_COLOR)
+        h, w = img.rows, img.cols
+        megapixels = h * w / 1e6
+        cascade = scd.load_cascade("/root/reference/samples/face.sqlite3")
+    except Exception as e:  # noqa: BLE001
+        _fail("load", e)
 
-    # warmup: compiles every pyramid-level program (persistent cache makes
-    # subsequent processes fast)
-    for _ in range(2):
-        scd.detect(img.array, cascade)
+    try:
+        # warmup: compiles every pyramid-level program (persistent cache
+        # makes subsequent processes fast)
+        for _ in range(2):
+            scd.detect(img.array, cascade)
+    except Exception as e:  # noqa: BLE001
+        _fail("warmup/compile", e)
 
-    n = 5
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = scd.detect(img.array, cascade)
-    dt = (time.perf_counter() - t0) / n
+    try:
+        n = 10
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = scd.detect(img.array, cascade)
+        dt = (time.perf_counter() - t0) / n
+    except Exception as e:  # noqa: BLE001
+        _fail("timed run", e)
     mps = megapixels / dt
     print(json.dumps({
         "metric": "pyramid+scd_detect throughput",
@@ -58,6 +83,7 @@ def main():
         "unit": "MP/s/chip",
         "vs_baseline": round(mps / REFERENCE_CPU_MPS, 2),
         "detect_ms": round(dt * 1000, 1),
+        "faces": len(out),
         "device": str(jax.devices()[0]),
     }))
 

@@ -37,6 +37,10 @@ from ccv_tpu.ops import basic, resample
 SCD_CHANNELS = 11  # 4 signed + 4 abs gradients + LUV (or gray + 2 zeros)
 _THETA = 2.0 / math.sqrt(32.0)  # L2Hys clamp
 
+# small standalone program for the octave chain (shared across levels and
+# images; jax.jit caches by input shape)
+_sample_down_jit = jax.jit(lambda a: resample.sample_down(a))
+
 
 @dataclasses.dataclass
 class ScdClassifierCascade:
@@ -172,66 +176,96 @@ def scd_map(img: jax.Array) -> jax.Array:
 # batched window evaluation
 # ---------------------------------------------------------------------------
 
-def _eval_level(sat8, M, offsets, w, bias, stage_onehot, thresholds,
-                last_count, ny: int, nx: int, step: int):
-    """Evaluate every window on one pyramid level — gather-free.
+def _phase_tables(cascade: ScdClassifierCascade, feats: np.ndarray):
+    """Corner tables for a subset of features: (M (F*4 boxes x nd), offset
+    pairs (nd, 2), per-feature weights/bias, per-stage onehot/thresholds)."""
+    sy, dy = cascade.sy[feats], cascade.dy[feats]
+    sx, dx = cascade.sx[feats], cascade.dx[feats]
+    # corner order per box: (sy,sx), (sy,dx), (dy,sx), (dy,dx) with signs
+    # +1, -1, -1, +1 (box sum off the SAT)
+    ys = np.stack([sy, sy, dy, dy], axis=-1)  # (F, 4 boxes, 4 corners)
+    xs = np.stack([sx, dx, sx, dx], axis=-1)
+    signs = np.array([1.0, -1.0, -1.0, 1.0], np.float32)
+    F = len(feats)
+    pairs = np.stack([ys, xs], axis=-1).reshape(-1, 2)  # (F*4*4, 2)
+    uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+    M = np.zeros((F * 4, len(uniq)), np.float32)
+    rows = np.repeat(np.arange(F * 4), 4)
+    np.add.at(M, (rows, inv), np.tile(signs, F * 4))
+    stages = np.unique(cascade.stage_of[feats])
+    onehot = np.zeros((F, len(stages)), np.float32)
+    for si, s in enumerate(stages):
+        onehot[cascade.stage_of[feats] == s, si] = 1.0
+    return dict(
+        M=jnp.asarray(M), offsets=uniq.astype(np.int32),
+        w=jnp.asarray(cascade.w[feats]), bias=jnp.asarray(cascade.bias[feats]),
+        onehot=jnp.asarray(onehot),
+        thresholds=jnp.asarray(cascade.thresholds[stages]))
 
-    The windows form a stride-`step` grid, so each distinct feature-corner
-    offset (oy, ox) corresponds to ONE strided slice of the SAT; the
-    4-corner box sums of all features then become a single dense matmul
-    ``M @ D`` on the MXU (M: (F*4, nd) +-1 corner matrix; D: (nd, nwin*8)
-    stacked slices). This replaces the element gather that dominated the
-    first implementation.
 
-    sat8: (H+1, W+1, 8) zero-padded SAT of the first 8 scd channels.
-    Returns (pass_mask, confidence) of shape (ny*nx,).
+_EARLY_FEATS = 16  # stages up to this cumulative feature count gate phase A
+
+
+def _surf_responses(flat_sat, base_idx, phase):
+    """SAT corner gather -> box sums -> L2Hys -> per-stage sums.
+
+    ONE gather (windows x distinct-offsets, 8-channel rows) replaces the
+    round-1 per-offset strided-slice stack (1,010 slice kernels/level); the
+    +-1 corner combination is one MXU matmul.
+    base_idx: (n,) flattened window-origin indices into the (H+1)*(W+1) SAT.
+    Returns (v (n, n_stages_in_phase), passed (n,)).
     """
+    offs, M, w, bias = phase["off_flat"], phase["M"], phase["w"], phase["bias"]
+    D = flat_sat[base_idx[:, None] + offs[None, :]]      # (n, nd, 8)
+    box = jnp.einsum("fd,ndc->nfc", M, D,
+                     preferred_element_type=jnp.float32)  # (n, F*4, 8)
+    n = box.shape[0]
     F = w.shape[0]
-    nwin = ny * nx
-    slices = [
-        jax.lax.slice(sat8, (int(oy), int(ox), 0),
-                      (int(oy) + (ny - 1) * step + 1,
-                       int(ox) + (nx - 1) * step + 1, 8),
-                      (step, step, 1))
-        for oy, ox in offsets
-    ]
-    D = jnp.stack(slices).reshape(len(offsets), nwin * 8)
-    box = jnp.matmul(M, D, preferred_element_type=jnp.float32)  # (F*4, nwin*8)
-    surf = box.reshape(F, 4, nwin, 8).transpose(2, 0, 1, 3).reshape(nwin, F, 32)
+    surf = box.reshape(n, F, 32)
     # L2Hys: normalize, clamp, renormalize (ccv_scd.c:502-533)
-    inv = jax.lax.rsqrt(jnp.sum(surf * surf, axis=-1, keepdims=True)) \
-        if False else 1.0 / (jnp.sqrt(jnp.sum(surf * surf, axis=-1, keepdims=True)) + 1e-6)
+    inv = 1.0 / (jnp.sqrt(jnp.sum(surf * surf, axis=-1, keepdims=True)) + 1e-6)
     surf = jnp.clip(surf * inv, -_THETA, _THETA)
     inv2 = 1.0 / (jnp.sqrt(jnp.sum(surf * surf, axis=-1, keepdims=True)) + 1e-6)
     surf = surf * inv2
-    logit = jnp.einsum("wfk,fk->wf", surf, w) + bias  # (nwin, F)
+    logit = jnp.einsum("nfk,fk->nf", surf, w) + bias
     resp = jnp.tanh(0.5 * logit)  # (exp(x)-1)/(exp(x)+1)
-    v = resp @ stage_onehot  # (nwin, n_stages)
-    passed = jnp.all(v > thresholds, axis=-1)
-    conf = v[:, -1] / last_count + (thresholds.shape[0] - 1)
-    return passed, conf
+    v = resp @ phase["onehot"]
+    passed = jnp.all(v > phase["thresholds"], axis=-1)
+    return v, passed
 
 
-def _prepare_feature_tables(cascade: ScdClassifierCascade):
-    """Host-side static tables: distinct corner offsets + the +-1 corner
-    matrix M (F*4 boxes x nd distinct offsets), and the stage one-hot."""
-    # corner order per box: (sy,sx), (sy,dx), (dy,sx), (dy,dx) with signs
-    # +1, -1, -1, +1 (box sum off the SAT)
-    ys = np.stack([cascade.sy, cascade.sy, cascade.dy, cascade.dy], axis=-1)  # (F,4,4)
-    xs = np.stack([cascade.sx, cascade.dx, cascade.sx, cascade.dx], axis=-1)
-    signs = np.array([1.0, -1.0, -1.0, 1.0], np.float32)
-    F = cascade.n_features
-    pairs = np.stack([ys, xs], axis=-1).reshape(-1, 2)  # (F*4*4, 2)
-    uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
-    nd = len(uniq)
-    M = np.zeros((F * 4, nd), np.float32)
-    rows = np.repeat(np.arange(F * 4), 4)
-    np.add.at(M, (rows, inv), np.tile(signs, F * 4))
-    offsets = [(int(oy), int(ox)) for oy, ox in uniq]
-    n_stages = cascade.n_stages
-    onehot = np.zeros((F, n_stages), np.float32)
-    onehot[np.arange(F), cascade.stage_of] = 1.0
-    return M, tuple(offsets), onehot
+def _eval_level(sat8, phase_a, phase_b, last_count, n_stages: int,
+                ny: int, nx: int, step: int, K: int):
+    """Evaluate one pyramid level as a two-phase staged cascade.
+
+    The reference's per-window early exit (ccv_scd.c:1719-1768) becomes:
+    phase A evaluates the first few stages for EVERY window (dense, tiny);
+    the survivors are compacted to a fixed-capacity index buffer
+    (jnp.nonzero(size=K)) and phase B evaluates the remaining ~95% of the
+    features only on those — the dense-tensor answer to data-dependent
+    control flow, with ~20x fewer FLOPs than all-features-everywhere.
+
+    Returns (idx (K,), passed (K,), conf (K,), n_survivors_A ()).
+    """
+    W1 = sat8.shape[1]
+    flat = sat8.reshape(-1, 8)
+    wy = jnp.arange(ny, dtype=jnp.int32) * step
+    wx = jnp.arange(nx, dtype=jnp.int32) * step
+    base = (wy[:, None] * W1 + wx[None, :]).reshape(-1)  # (nwin,)
+    v_a, pass_a = _surf_responses(flat, base, phase_a)
+    if phase_b is None:
+        # tiny cascade: single phase, "compaction" is just the pass mask
+        conf = v_a[:, -1] / last_count + (n_stages - 1)
+        idx = jnp.arange(base.shape[0], dtype=jnp.int32)
+        return idx, pass_a, conf, jnp.sum(pass_a)
+    idx = jnp.nonzero(pass_a, size=K, fill_value=0)[0].astype(jnp.int32)
+    count = jnp.sum(pass_a)
+    v_b, pass_b = _surf_responses(flat, base[idx], phase_b)
+    # mask padding slots (fill_value=0 would duplicate window 0 if it passed)
+    valid = jnp.arange(K) < jnp.minimum(count, K)
+    passed = pass_b & pass_a[idx] & valid
+    conf = v_b[:, -1] / last_count + (n_stages - 1)
+    return idx, passed, conf, count
 
 
 def _level_specs(H: int, W: int, cascade: ScdClassifierCascade,
@@ -261,57 +295,102 @@ def _level_specs(H: int, W: int, cascade: ScdClassifierCascade,
     return tuple(specs), scale_upto
 
 
-# cache of traced whole-pyramid programs keyed by (shape, cascade geometry)
-_PROGRAM_CACHE: dict = {}
+# Per-LEVEL jitted programs, keyed by (level geometry, cascade geometry).
+#
+# Round 1 traced the entire pyramid + every level's cascade into ONE XLA
+# program; on street.png that emitted a 17.5 MB MLIR module which the TPU
+# compile helper killed. Splitting per level keeps every module small (and
+# identical level shapes share the compiled program across octave chains);
+# XLA's async dispatch still pipelines the per-level launches back to back.
+_LEVEL_CACHE: dict = {}
 
 
-def _get_program(H: int, W: int, cascade: ScdClassifierCascade,
-                 params: ScdParams):
-    key = (H, W, cascade.width, cascade.height, cascade.margin,
-           cascade.n_features, params.interval, params.step_through)
-    if key in _PROGRAM_CACHE:
-        return _PROGRAM_CACHE[key]
-    specs, scale_upto = _level_specs(H, W, cascade, params)
-    step = params.step_through
-    M_np, offsets, _ = _prepare_feature_tables(cascade)
+def _cascade_tables(cascade: ScdClassifierCascade):
+    """Per-phase cascade tables (device-resident), computed once per
+    cascade object and cached on it (fixes the round-1 bug of re-deriving
+    the feature tables on every detect() call).
 
-    def program(a, w, bias, onehot, thresholds, last_count):
-        """The WHOLE pyramid + detect as one XLA program: one dispatch."""
-        M = jnp.asarray(M_np)
-        pyr = [a]
-        for _ in range(1, scale_upto):
-            pyr.append(resample.sample_down(pyr[-1]))
-        outs = []
-        for (octave, k, rows, cols, ny, nx, scale) in specs:
-            level = pyr[octave]
-            image = level if k == 0 else resample.resample(
-                level, rows=rows, cols=cols, rows_scale=rows / level.shape[0],
-                cols_scale=cols / level.shape[1], interp=resample.INTER_AREA)
-            if any(cascade.margin):
-                pads = [(cascade.margin[1], cascade.margin[3]),
-                        (cascade.margin[0], cascade.margin[2]), (0, 0)]
-                image = jnp.pad(image, pads)
-            smap = scd_map(image)
-            sat = algebra.sat(smap, padding=algebra.PADDING_ZERO)
-            sat8 = sat[..., :8].astype(jnp.float32)
-            passed, conf = _eval_level(
-                sat8, M, offsets, w, bias, onehot,
-                thresholds, last_count, ny=ny, nx=nx, step=step)
-            outs.append((passed, conf))
-        return outs
+    Phase A = the leading stages totalling <= _EARLY_FEATS features (the
+    cheap rejector); phase B = everything else."""
+    tabs = getattr(cascade, "_tables", None)
+    if tabs is None:
+        counts = cascade.stage_counts
+        split = 0
+        cum = 0
+        while split < len(counts) and cum + counts[split] <= _EARLY_FEATS:
+            cum += counts[split]
+            split += 1
+        split = max(1, split)
+        feats_a = np.nonzero(cascade.stage_of < split)[0]
+        feats_b = np.nonzero(cascade.stage_of >= split)[0]
+        tabs = dict(
+            phase_a=_phase_tables(cascade, feats_a),
+            phase_b=_phase_tables(cascade, feats_b) if len(feats_b) else None,
+            last_count=float(cascade.stage_counts[-1]))
+        object.__setattr__(cascade, "_tables", tabs)
+    return tabs
 
-    jitted = jax.jit(program, static_argnames=())
-    _PROGRAM_CACHE[key] = (jitted, specs)
-    return jitted, specs
+
+def _level_capacity(nwin: int) -> int:
+    """Fixed phase-B buffer size: generous vs the expected <5% survivor
+    rate; detect() falls back to K=nwin on (rare) overflow."""
+    return int(min(nwin, max(512, nwin // 4)))
+
+
+def _get_level_fn(src_shape, rows: int, cols: int, ny: int, nx: int,
+                  is_base: bool, cascade: ScdClassifierCascade,
+                  step: int, tabs, K: int):
+    """One jitted program for one pyramid level: (optional INTER_AREA
+    resample) -> margin pad -> scd_map -> SAT -> staged cascade eval."""
+    # id(cascade) matters: the phase tables (weights/thresholds) are traced
+    # into the program as constants, so same-geometry cascades with
+    # different weights must NOT share compiled programs
+    key = (id(cascade), src_shape, rows, cols, ny, nx, is_base, step, K)
+    fn = _LEVEL_CACHE.get(key)
+    if fn is not None:
+        return fn
+    margin = cascade.margin
+    n_stages = cascade.n_stages
+    # flattened per-level corner offsets (depend on the padded SAT width)
+    W1 = cols + margin[0] + margin[2] + 1
+
+    def with_flat(phase):
+        if phase is None:
+            return None
+        p = dict(phase)
+        offs = phase["offsets"]
+        p["off_flat"] = jnp.asarray(offs[:, 0] * W1 + offs[:, 1], jnp.int32)
+        return p
+
+    phase_a = with_flat(tabs["phase_a"])
+    phase_b = with_flat(tabs["phase_b"])
+
+    def level(src, last_count):
+        image = src if is_base else resample.resample(
+            src, rows=rows, cols=cols, rows_scale=rows / src.shape[0],
+            cols_scale=cols / src.shape[1], interp=resample.INTER_AREA)
+        if any(margin):
+            pads = [(margin[1], margin[3]), (margin[0], margin[2]), (0, 0)]
+            image = jnp.pad(image, pads)
+        smap = scd_map(image)
+        sat = algebra.sat(smap, padding=algebra.PADDING_ZERO)
+        sat8 = sat[..., :8].astype(jnp.float32)
+        return _eval_level(sat8, phase_a, phase_b, last_count, n_stages,
+                           ny=ny, nx=nx, step=step, K=K)
+
+    fn = jax.jit(level)
+    _LEVEL_CACHE[key] = fn
+    return fn
 
 
 def detect(img, cascade: ScdClassifierCascade,
            params: Optional[ScdParams] = None) -> List[Comp]:
     """ccv_scd_detect_objects twin (ccv_scd.c:1653) for a single cascade.
 
-    The full pyramid (octave chain of sample_down; interval+1 INTER_AREA
-    levels per octave) and every window's cascade evaluation run as ONE
-    jitted XLA program — a single device dispatch per image.
+    The octave chain (sample_down) and each pyramid level (INTER_AREA
+    resample -> SURF map -> SAT -> every window's cascade evaluation) run
+    as small per-level jitted XLA programs, dispatched asynchronously; the
+    surviving-window masks come back to the host at the end.
     """
     from ccv_tpu.core.dense_matrix import DenseMatrix, as_array
 
@@ -329,27 +408,43 @@ def detect(img, cascade: ScdClassifierCascade,
         H, W = H2, W2
     eff_h = cascade.height - cascade.margin[1] - cascade.margin[3]
     eff_w = cascade.width - cascade.margin[0] - cascade.margin[2]
-    program, specs = _get_program(H, W, cascade, params)
-    outs = program(a, jnp.asarray(cascade.w), jnp.asarray(cascade.bias),
-                   jnp.asarray(_prepare_feature_tables(cascade)[2]),
-                   jnp.asarray(cascade.thresholds),
-                   float(cascade.stage_counts[-1]))
+    specs, scale_upto = _level_specs(H, W, cascade, params)
+    step = params.step_through
+    tabs = _cascade_tables(cascade)
+    pyr = [jnp.asarray(a)]
+    for _ in range(1, scale_upto):
+        pyr.append(_sample_down_jit(pyr[-1]))
+    outs = []
+    for (octave, k, rows, cols, ny, nx, scale) in specs:
+        src = pyr[octave]
+        fn = _get_level_fn(tuple(src.shape), rows, cols, ny, nx, k == 0,
+                           cascade, step, tabs, K=_level_capacity(ny * nx))
+        outs.append(fn(src, tabs["last_count"]))
     outs = jax.device_get(outs)
     comps: List[Comp] = []
-    step = params.step_through
-    for (octave, k, rows, cols, ny, nx, scale), (passed, conf) in zip(specs, outs):
+    for spec, (idx, passed, conf, count) in zip(specs, outs):
+        (octave, k, rows, cols, ny, nx, scale) = spec
+        K = _level_capacity(ny * nx)
+        if int(count) > K:
+            # phase-A survivor overflow (rare): rerun with full capacity
+            src = pyr[octave]
+            fn = _get_level_fn(tuple(src.shape), rows, cols, ny, nx, k == 0,
+                               cascade, step, tabs, K=ny * nx)
+            idx, passed, conf, count = jax.device_get(
+                fn(src, tabs["last_count"]))
         passed = np.asarray(passed)
         if not passed.any():
             continue
+        idx = np.asarray(idx)
         conf = np.asarray(conf)
         sc = (scale / up_ratio) * (1 << octave)
-        for widx in np.nonzero(passed)[0]:
-            wy, wx = divmod(int(widx), nx)
+        for j in np.nonzero(passed)[0]:
+            wy, wx = divmod(int(idx[j]), nx)
             comps.append(Comp(
                 x=int((wx * step + 0.5) * sc - 0.5),
                 y=int((wy * step + 0.5) * sc - 0.5),
                 width=int(eff_w * sc),
                 height=int(eff_h * sc),
-                confidence=float(conf[widx]),
+                confidence=float(conf[j]),
                 classification_id=1))
     return merge_detections(comps, params.min_neighbors)
