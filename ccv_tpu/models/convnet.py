@@ -91,3 +91,342 @@ def classify(model: Sequential, img_u8, top: int = 5, patch: int = 224,
     probs = jax.nn.softmax(logits, axis=-1).mean(axis=0)
     idx = jnp.argsort(-probs)[:top]
     return idx, probs[idx]
+
+
+# ---------------------------------------------------------------------------
+# Reference wire-format convnet (ccv_convnet.c SQLite schema)
+# ---------------------------------------------------------------------------
+
+import dataclasses
+import sqlite3 as _sqlite3
+
+import numpy as np
+
+CONVOLUTIONAL = 0x01
+FULL_CONNECT = 0x02
+MAX_POOL = 0x03
+AVERAGE_POOL = 0x04
+LOCAL_RESPONSE_NORM = 0x05
+
+
+@dataclasses.dataclass
+class ConvnetLayer:
+    """ccv_convnet_layer_t twin: the tagged-union params + weights."""
+
+    type: int
+    in_rows: int
+    in_cols: int
+    in_channels: int
+    in_partition: int
+    node_count: int
+    # convolutional
+    rows: int = 0
+    cols: int = 0
+    channels: int = 0
+    partition: int = 1
+    count: int = 0
+    strides: int = 1
+    border: int = 0
+    # pool / rnorm
+    size: int = 0
+    kappa: float = 0.0
+    alpha: float = 0.0
+    beta: float = 0.0
+    relu: int = 0
+    w: Optional[np.ndarray] = None      # conv: (count, kr, kc, ch/part); fc: (count, in)
+    bias: Optional[np.ndarray] = None   # (count,)
+
+    def out_shape(self, in_rows: int, in_cols: int):
+        """ccv_convnet_make_output twin (inc/ccv_convnet_internal.h:4)."""
+        if self.type == CONVOLUTIONAL:
+            r = (in_rows + self.border * 2 - self.rows
+                 + self.strides - 1) // self.strides + 1
+            c = (in_cols + self.border * 2 - self.cols
+                 + self.strides - 1) // self.strides + 1
+            return r, c
+        if self.type == FULL_CONNECT:
+            return self.count, 1
+        if self.type in (MAX_POOL, AVERAGE_POOL):
+            r = (in_rows + self.border * 2 - self.size
+                 + self.strides - 1) // self.strides + 1
+            c = (in_cols + self.border * 2 - self.size
+                 + self.strides - 1) // self.strides + 1
+            return r, c
+        return in_rows, in_cols
+
+
+def _layer_forward(layer: ConvnetLayer, x: jax.Array) -> jax.Array:
+    """One layer on an NHWC float32 batch; exact twin of
+    _ccv_convnet_layer_forward_propagate (ccv_convnet.c:578)."""
+    if layer.type == CONVOLUTIONAL:
+        # weights (count, kr, kc, ch_per_partition) -> HWIO per partition
+        w = jnp.asarray(layer.w)
+        parts = layer.partition
+        outs = []
+        ch_pp = layer.channels // parts
+        cnt_pp = layer.count // parts
+        for p in range(parts):
+            xp = x[..., p * ch_pp:(p + 1) * ch_pp]
+            wp = w[p * cnt_pp:(p + 1) * cnt_pp].transpose(1, 2, 3, 0)
+            outs.append(jax.lax.conv_general_dilated(
+                xp, wp, window_strides=(layer.strides, layer.strides),
+                padding=[(layer.border, layer.border)] * 2,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=jax.lax.Precision.HIGHEST))
+        y = jnp.concatenate(outs, axis=-1) + jnp.asarray(layer.bias)
+        return jnp.maximum(y, 0.0)  # conv always applies ReLU (ccv_convnet.c:382)
+    if layer.type == FULL_CONNECT:
+        flat = x.reshape(x.shape[0], -1)  # HWC row-major, like the reference
+        y = jnp.matmul(flat, jnp.asarray(layer.w).T,
+                       precision=jax.lax.Precision.HIGHEST) \
+            + jnp.asarray(layer.bias)
+        return jnp.maximum(y, 0.0) if layer.relu else y
+    if layer.type == MAX_POOL:
+        return jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max,
+            (1, layer.size, layer.size, 1), (1, layer.strides, layer.strides, 1),
+            [(0, 0), (layer.border, layer.border),
+             (layer.border, layer.border), (0, 0)])
+    if layer.type == AVERAGE_POOL:
+        ones = jnp.ones(x.shape[1:3] + (1,), x.dtype)[None]
+        s = jax.lax.reduce_window(
+            x, 0.0, jax.lax.add,
+            (1, layer.size, layer.size, 1), (1, layer.strides, layer.strides, 1),
+            [(0, 0), (layer.border, layer.border),
+             (layer.border, layer.border), (0, 0)])
+        n = jax.lax.reduce_window(
+            ones, 0.0, jax.lax.add,
+            (1, layer.size, layer.size, 1), (1, layer.strides, layer.strides, 1),
+            [(0, 0), (layer.border, layer.border),
+             (layer.border, layer.border), (0, 0)])
+        return s / n
+    if layer.type == LOCAL_RESPONSE_NORM:
+        parts = layer.in_partition
+        ch_pp = layer.in_channels // parts
+        half = layer.size // 2
+        outs = []
+        for p in range(parts):
+            xp = x[..., p * ch_pp:(p + 1) * ch_pp]
+            sq = xp * xp
+            padded = jnp.pad(sq, [(0, 0)] * 3 + [(half, half)])
+            acc = sum(jax.lax.dynamic_slice_in_dim(padded, k, ch_pp, axis=3)
+                      for k in range(layer.size))
+            outs.append(xp * jnp.power(layer.kappa + layer.alpha * acc,
+                                       -layer.beta))
+        return jnp.concatenate(outs, axis=-1)
+    raise ValueError(f"unknown layer type {layer.type}")
+
+
+class Convnet:
+    """ccv_convnet_t twin with the reference's SQLite wire format
+    (ccv_convnet_read/write, ccv_convnet.c:1412/:1534)."""
+
+    def __init__(self, layers: Sequence[ConvnetLayer], input_size,
+                 mean_activity: Optional[np.ndarray] = None):
+        self.layers = list(layers)
+        self.input_size = tuple(input_size)  # (height, width)
+        self.mean_activity = mean_activity
+        self._encode = jax.jit(self._encode_impl)
+
+    @property
+    def rows(self):
+        return self.layers[0].in_rows
+
+    @property
+    def cols(self):
+        return self.layers[0].in_cols
+
+    @property
+    def channels(self):
+        return self.layers[0].in_channels
+
+    @classmethod
+    def read(cls, path: str) -> "Convnet":
+        """ccv_convnet_read twin: reference SQLite schema, incl.
+        half-precision weight blobs."""
+        con = _sqlite3.connect(path)
+        rows = con.execute(
+            "SELECT layer, type, input_matrix_rows, input_matrix_cols,"
+            " input_matrix_channels, input_matrix_partition, input_node_count,"
+            " output_rows, output_cols, output_channels, output_partition,"
+            " output_count, output_strides, output_border, output_size,"
+            " output_kappa, output_alpha, output_beta, output_relu"
+            " FROM layer_params ORDER BY layer ASC").fetchall()
+        layers = []
+        for r in rows:
+            (_, t, imr, imc, imch, imp, inc_, orows, ocols, och, opart,
+             ocount, ostrides, oborder, osize, okappa, oalpha, obeta,
+             orelu) = r
+            lay = ConvnetLayer(type=t, in_rows=imr, in_cols=imc,
+                               in_channels=imch, in_partition=imp,
+                               node_count=inc_)
+            if t == CONVOLUTIONAL:
+                lay.rows, lay.cols, lay.channels = orows, ocols, och
+                lay.partition, lay.count = opart, ocount
+                lay.strides, lay.border = ostrides, oborder
+            elif t == FULL_CONNECT:
+                lay.count = ocount
+                lay.relu = orelu
+            elif t in (MAX_POOL, AVERAGE_POOL):
+                lay.strides, lay.border, lay.size = ostrides, oborder, osize
+            elif t == LOCAL_RESPONSE_NORM:
+                lay.size = osize
+                lay.kappa, lay.alpha, lay.beta = okappa, oalpha, obeta
+            layers.append(lay)
+        ih, iw, mean_blob = con.execute(
+            "SELECT input_height, input_width, mean_activity FROM"
+            " convnet_params WHERE convnet = 0").fetchone()
+        mean = None
+        if mean_blob is not None:
+            mean = np.frombuffer(mean_blob, np.float32).reshape(
+                ih, iw, layers[0].in_channels).copy()
+        for layer_i, wblob, bblob, half in con.execute(
+                "SELECT layer, weight, bias, half_precision FROM layer_data"):
+            lay = layers[layer_i]
+            if wblob is None:
+                continue
+            dt = np.float16 if half else np.float32
+            w = np.frombuffer(wblob, dt).astype(np.float32)
+            b = np.frombuffer(bblob, dt).astype(np.float32)
+            if lay.type == CONVOLUTIONAL:
+                lay.w = w.reshape(lay.count, lay.rows, lay.cols,
+                                  lay.channels // lay.partition)
+                lay.bias = b
+            elif lay.type == FULL_CONNECT:
+                lay.w = w.reshape(lay.count, lay.node_count)
+                lay.bias = b
+        con.close()
+        return cls(layers, (ih, iw), mean)
+
+    def write(self, path: str, half_precision: bool = False):
+        """ccv_convnet_write twin."""
+        con = _sqlite3.connect(path)
+        con.executescript(
+            "CREATE TABLE IF NOT EXISTS layer_params (layer INTEGER PRIMARY"
+            " KEY ASC, type INTEGER, input_matrix_rows INTEGER,"
+            " input_matrix_cols INTEGER, input_matrix_channels INTEGER,"
+            " input_matrix_partition INTEGER, input_node_count INTEGER,"
+            " output_rows INTEGER, output_cols INTEGER, output_channels"
+            " INTEGER, output_partition INTEGER, output_count INTEGER,"
+            " output_strides INTEGER, output_border INTEGER, output_size"
+            " INTEGER, output_kappa REAL, output_alpha REAL, output_beta"
+            " REAL, output_relu INTEGER);"
+            "CREATE TABLE IF NOT EXISTS convnet_params (convnet INTEGER"
+            " PRIMARY KEY ASC, input_height INTEGER, input_width INTEGER,"
+            " mean_activity BLOB);"
+            "CREATE TABLE IF NOT EXISTS layer_data (layer INTEGER PRIMARY"
+            " KEY ASC, weight BLOB, bias BLOB, half_precision INTEGER);")
+        for i, lay in enumerate(self.layers):
+            if lay.type == CONVOLUTIONAL:
+                out = (lay.rows, lay.cols, lay.channels, lay.partition,
+                       lay.count, lay.strides, lay.border, 0, 0.0, 0.0, 0.0, 0)
+            elif lay.type == FULL_CONNECT:
+                out = (0, 0, 0, 1, lay.count, 0, 0, 0, 0.0, 0.0, 0.0, lay.relu)
+            elif lay.type in (MAX_POOL, AVERAGE_POOL):
+                out = (0, 0, 0, 1, 0, lay.strides, lay.border, lay.size,
+                       0.0, 0.0, 0.0, 0)
+            else:
+                out = (0, 0, 0, 1, 0, 0, 0, lay.size, lay.kappa, lay.alpha,
+                       lay.beta, 0)
+            con.execute(
+                "REPLACE INTO layer_params VALUES"
+                " (?,?,?,?,?,?,?,?,?,?,?,?,?,?,?,?,?,?,?)",
+                (i, lay.type, lay.in_rows, lay.in_cols, lay.in_channels,
+                 lay.in_partition, lay.node_count) + out)
+            if lay.w is not None:
+                dt = np.float16 if half_precision else np.float32
+                con.execute(
+                    "REPLACE INTO layer_data VALUES (?,?,?,?)",
+                    (i, lay.w.astype(dt).tobytes(),
+                     lay.bias.astype(dt).tobytes(), int(half_precision)))
+        mean = (self.mean_activity.astype(np.float32).tobytes()
+                if self.mean_activity is not None else None)
+        con.execute("REPLACE INTO convnet_params VALUES (0,?,?,?)",
+                    (self.rows, self.cols, mean))
+        con.commit()
+        con.close()
+
+    # -- forward -----------------------------------------------------------
+
+    def _encode_impl(self, x):
+        for lay in self.layers:
+            if lay.type == FULL_CONNECT and x.ndim > 2:
+                x = x.reshape(x.shape[0], -1)
+            x = _layer_forward(lay, x)
+        return x
+
+    def encode(self, x) -> jax.Array:
+        """ccv_convnet_encode twin on an NHWC float32 batch."""
+        return self._encode(jnp.asarray(x, jnp.float32))
+
+    def input_formation(self, img) -> np.ndarray:
+        """ccv_convnet_input_formation twin: aspect-preserving resample so
+        the short side matches the input size."""
+        from ccv_tpu.ops import resample as _resample
+
+        a = np.asarray(img)
+        ih, iw = self.input_size
+        h, w = a.shape[0], a.shape[1]
+        nh = max(ih, int(h * ih / w + 0.5))
+        nw = max(iw, int(w * iw / h + 0.5))
+        if (h, w) == (nh, nw):
+            return a.astype(np.float32)
+        interp = _resample.INTER_AREA if (h > ih and w > iw) \
+            else _resample.INTER_CUBIC
+        return np.asarray(_resample.resample(
+            jnp.asarray(a, jnp.float32), rows=nh, cols=nw,
+            rows_scale=nh / h, cols_scale=nw / w, interp=interp))
+
+    def classify(self, img, tops: int = 5, symmetric: bool = True):
+        """ccv_convnet_classify twin (ccv_convnet.c:723): run the conv stack
+        once on the full (center-sliced) image, slice 5 positions at the
+        last-conv feature level (x horizontal flip), batch the full-connect
+        tail over the 10 patches, average softmax.
+
+        Returns [(class_id, confidence)] top-k."""
+        from ccv_tpu.ops import resample as _resample
+
+        a = self.input_formation(img)
+        scan = max(i for i, l in enumerate(self.layers)
+                   if l.type == CONVOLUTIONAL)
+        scale = 1
+        for l in self.layers[:scan + 1]:
+            if l.type == CONVOLUTIONAL or l.type in (MAX_POOL, AVERAGE_POOL):
+                scale *= l.strides
+        fc = min(i for i, l in enumerate(self.layers)
+                 if l.type == FULL_CONNECT)
+        rows = self.rows + ((a.shape[0] - self.rows) // scale) * scale
+        cols = self.cols + ((a.shape[1] - self.cols) // scale) * scale
+        y0 = (a.shape[0] - rows) // 2
+        x0 = (a.shape[1] - cols) // 2
+        sl = a[y0:y0 + rows, x0:x0 + cols]
+        mean = np.asarray(_resample.resample(
+            jnp.asarray(self.mean_activity), rows=rows, cols=cols,
+            rows_scale=rows / self.mean_activity.shape[0],
+            cols_scale=cols / self.mean_activity.shape[1],
+            interp=_resample.INTER_CUBIC)) if self.mean_activity is not None \
+            else 0.0
+        x = (sl - mean)[None]  # (1, rows, cols, ch)
+        feats = []
+        for t in range(2 if symmetric else 1):
+            h = jnp.flip(jnp.asarray(x), axis=2) if t else jnp.asarray(x)
+            for l in self.layers[:scan + 1]:
+                h = _layer_forward(l, h)
+            fr = self.layers[scan + 1].in_rows
+            fc_cols = self.layers[scan + 1].in_cols
+            R, C = h.shape[1], h.shape[2]
+            offsets = [(0, 0), (C - fc_cols, 0),
+                       ((C - fc_cols) // 2, (R - fr) // 2),
+                       (0, R - fr), (C - fc_cols, R - fr)]
+            for ox, oy in offsets:
+                feats.append(h[0, oy:oy + fr, ox:ox + fc_cols])
+        z = jnp.stack(feats)
+        for l in self.layers[scan + 1:fc]:
+            z = _layer_forward(l, z)
+        z = z.reshape(z.shape[0], -1)
+        for l in self.layers[fc:]:
+            z = _layer_forward(l, z)
+        probs = np.asarray(jax.nn.softmax(z, axis=-1).sum(axis=0))
+        order = np.argsort(-probs, kind="stable")[:tops]
+        denom = z.shape[0]
+        return [(int(i), float(probs[i] / denom)) for i in order]

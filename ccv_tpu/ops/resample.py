@@ -146,8 +146,14 @@ def _apply_separable(img: jax.Array, wy: np.ndarray, wx: np.ndarray) -> jax.Arra
     wy_j = jnp.asarray(wy, dtype=jnp.float32)
     wx_j = jnp.asarray(wx, dtype=jnp.float32)
     x = img.astype(jnp.float32)
-    x = jnp.einsum("iy,...yxc->...ixc", wy_j, x, preferred_element_type=jnp.float32)
-    x = jnp.einsum("jx,...ixc->...ijc", wx_j, x, preferred_element_type=jnp.float32)
+    # HIGHEST: the TPU MXU's default f32 path is bf16-accumulated, which
+    # perturbs 8-bit pixel values enough to break golden-file parity
+    x = jnp.einsum("iy,...yxc->...ixc", wy_j, x,
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    x = jnp.einsum("jx,...ixc->...ijc", wx_j, x,
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     return x
 
 
