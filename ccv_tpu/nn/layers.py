@@ -411,7 +411,14 @@ class ScaledDotProductAttention(Layer):
         q = q.reshape(B, T, self.heads, self.dim)
         k = k.reshape(B, T, self.heads, self.dim)
         v = v.reshape(B, T, self.heads, self.dim)
-        out = ops.scaled_dot_product_attention(q, k, v, is_causal=self.is_causal)
+        if jax.default_backend() == "tpu" and T >= 1024:
+            # long sequences: the Pallas flash kernel (scores never hit HBM)
+            from ccv_tpu.ops.pallas import flash_attention
+
+            out = flash_attention(q, k, v, None, self.is_causal)
+        else:
+            out = ops.scaled_dot_product_attention(
+                q, k, v, is_causal=self.is_causal)
         out = out.reshape(B, T, inner)
         if self.out_proj:
             out = jnp.matmul(out, params["wo"].astype(x.dtype),

@@ -1,0 +1,29 @@
+"""Ring attention (sequence parallelism) vs single-device SDPA on the
+8-virtual-device CPU mesh (SURVEY 5.7)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from ccv_tpu.nn import ops
+from ccv_tpu.parallel.sequence import ring_attention
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_attention_matches_sdpa(causal):
+    devices = np.array(jax.devices()[:8])
+    mesh = Mesh(devices, ("seq",))
+    rng = np.random.default_rng(0)
+    B, T, H, D = 2, 64, 2, 16
+    q = rng.standard_normal((B, T, H, D), np.float32)
+    k = rng.standard_normal((B, T, H, D), np.float32)
+    v = rng.standard_normal((B, T, H, D), np.float32)
+    out = np.asarray(ring_attention(jnp.asarray(q), jnp.asarray(k),
+                                    jnp.asarray(v), mesh, "seq",
+                                    is_causal=causal))
+    ref = np.asarray(ops.scaled_dot_product_attention(q, k, v,
+                                                      is_causal=causal))
+    assert np.abs(out - ref).max() < 1e-4, np.abs(out - ref).max()
