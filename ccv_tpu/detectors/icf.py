@@ -120,8 +120,6 @@ def icf_channels(img: jax.Array) -> jax.Array:
     ag0 = agr.astype(jnp.int32)
     ag1 = jnp.where(ag0 < 5, ag0 + 1, 0)
     frac = agr - ag0
-    hog = (jnp.zeros((*mg.shape, 6))
-           .at[..., :].add(0.0))
     onehot0 = jax.nn.one_hot(ag0, 6) * (mg * (1 - frac))[..., None]
     onehot1 = jax.nn.one_hot(ag1, 6) * (mg * frac)[..., None]
     hog = onehot0 + onehot1

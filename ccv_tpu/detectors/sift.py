@@ -314,15 +314,8 @@ def sift(a, params: Optional[SiftParams] = None, want_desc: bool = True):
         octaves.append((-1, up))
     octaves.append((0, img))
 
-    per_octave = {}
-    g_prev = None
-    for oi in range(1, params.noctaves):
-        pass  # built below after blur chain
-
     # build pyramids octave by octave (next octave = sample_down of the
     # previous octave's g[0]-equivalent, matching ccv_sift.c:233)
-    results = {}
-    base = octaves[-1][1]
     chain = [img]
     for oi in range(1, params.noctaves):
         chain.append(resample.sample_down(chain[-1]))

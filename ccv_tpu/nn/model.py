@@ -64,6 +64,7 @@ class Sequential:
         self.parallel: int = 1
         self._mesh = None
         self.checkpointing = False
+        self.memory_compression = False
         self._fit_fn = None
         self._eval_fn = None
         self._grad_fn = None
@@ -95,7 +96,14 @@ class Sequential:
             apply = layer.apply
             if self.checkpointing and training:
                 apply = jax.checkpoint(apply, static_argnums=())
-            y, ns = apply(params[i], states[i], x, training, sub)
+            if (getattr(self, "memory_compression", False) and training
+                    and hasattr(x, "ndim") and x.ndim == 4):
+                from ccv_tpu.nn.compression import compressed_apply
+
+                y, ns = compressed_apply(apply, x.shape, x.dtype, training)(
+                    params[i], states[i], x, sub)
+            else:
+                y, ns = apply(params[i], states[i], x, training, sub)
             new_states.append(ns)
             x = y
         return x, new_states
@@ -144,6 +152,14 @@ class Sequential:
     def set_gradient_checkpointing(self, enable: bool = True):
         """ccv_cnnp_model_set_gradient_checkpointing twin (model.c:670)."""
         self.checkpointing = enable
+        if self.opt is not None:
+            self._make_programs()
+
+    def set_memory_compression(self, enable: bool = True):
+        """ccv_cnnp_model_set_memory_compression twin (model.c:654):
+        4-D activations saved for backward are LSSC-compressed (4:1,
+        lossy) — see ccv_tpu.nn.compression."""
+        self.memory_compression = enable
         if self.opt is not None:
             self._make_programs()
 

@@ -87,14 +87,27 @@ def conv2d(x, w, bias=None, stride=(1, 1), padding="SAME", dilation=(1, 1),
 
 def conv2d_transpose(x, w, bias=None, stride=(1, 1), padding="SAME",
                      dilation=(1, 1), groups: int = 1):
-    """CCV_NNC_CONVOLUTION_TRANSPOSE_FORWARD."""
+    """CCV_NNC_CONVOLUTION_TRANSPOSE_FORWARD (grouped: w is (O, kh, kw, I/g),
+    inputs split channel-wise like the forward conv's group semantics)."""
     if isinstance(padding, int):
         padding = [(padding, padding)] * 2
-    dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "OHWI", "NHWC"))
-    out = lax.conv_transpose(
-        x, w, strides=stride, padding=padding,
-        rhs_dilation=dilation, dimension_numbers=dn,
-        transpose_kernel=True)
+    dn = lax.conv_dimension_numbers(
+        (x.shape[0], x.shape[1], x.shape[2], x.shape[3] // groups),
+        w.shape if groups == 1 else (w.shape[0] // groups,) + w.shape[1:],
+        ("NHWC", "OHWI", "NHWC"))
+    if groups == 1:
+        out = lax.conv_transpose(
+            x, w, strides=stride, padding=padding,
+            rhs_dilation=dilation, dimension_numbers=dn,
+            transpose_kernel=True)
+    else:
+        xs = jnp.split(x, groups, axis=-1)
+        ws = jnp.split(w, groups, axis=0)
+        out = jnp.concatenate([
+            lax.conv_transpose(xg, wg, strides=stride, padding=padding,
+                               rhs_dilation=dilation, dimension_numbers=dn,
+                               transpose_kernel=True)
+            for xg, wg in zip(xs, ws)], axis=-1)
     if bias is not None:
         out = out + bias
     return out.astype(x.dtype)
