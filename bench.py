@@ -69,10 +69,19 @@ def main():
         _fail("warmup/compile", e)
 
     try:
-        n = 10
+        # throughput: keep two images in flight so one image's host round
+        # trip overlaps the next image's device compute
+        n = 12
+        depth = 3
         t0 = time.perf_counter()
-        for _ in range(n):
-            out = scd.detect(img.array, cascade)
+        from collections import deque
+        pending = deque(scd.detect_async(img.array, cascade)
+                        for _ in range(depth))
+        for _ in range(n - depth):
+            out = scd.detect_collect(pending.popleft())
+            pending.append(scd.detect_async(img.array, cascade))
+        while pending:
+            out = scd.detect_collect(pending.popleft())
         dt = (time.perf_counter() - t0) / n
     except Exception as e:  # noqa: BLE001
         _fail("timed run", e)

@@ -46,15 +46,21 @@ def correlate1d(x, taps: Sequence, axis: int, shift: int = 0):
     hfz = fsz // 2
     xp = edge_pad(x, hfz, fsz - 1 - hfz, axis)
     is_int = jnp.issubdtype(x.dtype, jnp.integer)
-    acc_dtype = jnp.int32 if is_int else x.dtype
+    # integer path computed in f32: exact while |acc| < 2^24 (all our tap
+    # sets keep 8U accumulations under 2^24), and ~10x faster than int32
+    # multiplies on the TPU VPU. The arithmetic right shift is
+    # floor(x / 2^s), which jnp.floor reproduces for negatives too.
+    acc_dtype = jnp.float32 if is_int else x.dtype
     acc = None
     for k, t in enumerate(taps):
         sl = [slice(None)] * x.ndim
         sl[axis] = slice(k, k + x.shape[axis])
         term = xp[tuple(sl)].astype(acc_dtype) * jnp.asarray(t, acc_dtype)
         acc = term if acc is None else acc + term
-    if is_int and shift:
-        acc = jnp.right_shift(acc, shift)  # arithmetic shift: floor(x / 2**s)
+    if is_int:
+        if shift:
+            acc = jnp.floor(acc * (2.0 ** -shift))
+        acc = acc.astype(jnp.int32)
     return acc
 
 

@@ -61,3 +61,24 @@ def assert_image_close(actual, golden, atol=1, frac=0.999, msg=""):
         f"{msg}: only {frac_ok:.4%} within +/-{atol} "
         f"(max err {np.abs(a - g).max()}, mean err {np.abs(a - g).mean():.4f})"
     )
+
+
+# persistent XLA compile cache: the fidelity suite's cost is dominated by
+# CPU compiles of the per-level detector programs; warm reruns are fast
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def pytest_addoption(parser):
+    parser.addoption("--slow", action="store_true", default=False,
+                     help="run the slow end-to-end fidelity tier as well")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--slow"):
+        return
+    skip = pytest.mark.skip(reason="slow tier: run with --slow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

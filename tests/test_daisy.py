@@ -1,0 +1,41 @@
+"""DAISY parity vs the reference oracle (tests/data/gen/gen_daisy.c).
+
+The reference's outermost ring reads a cube that skipped its in-place
+transpose (ccv_daisy.c:108-131, an upstream quirk); we implement the
+intended semantics, so the gate checks the center + inner rings tightly
+and the outermost ring loosely (daisy.py module docstring)."""
+
+import os
+
+import numpy as np
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+def test_daisy_parity():
+    from ccv_tpu.core.io import read, IO_GRAY
+    from ccv_tpu.detectors import daisy
+
+    img = np.asarray(read("/root/reference/samples/chessbox.png",
+                          IO_GRAY).numpy())
+    crop = img[40:104, 40:104]
+    mine = np.asarray(daisy.daisy(crop))
+    with open(os.path.join(DATA, "daisy_chessbox.txt")) as f:
+        rows, flat_cols = map(int, f.readline().split())
+        vals = np.array(f.read().split(), np.float32)
+    P = daisy.DaisyParams()
+    desc = (P.rad_q_no * P.th_q_no + 1) * P.hist_th_q_no
+    golden = vals.reshape(rows, flat_cols // desc, desc)
+    assert mine.shape == golden.shape, (mine.shape, golden.shape)
+    inner = P.hist_th_q_no * (1 + (P.rad_q_no - 1) * P.th_q_no)
+    # trim the image border where smoothing support is clipped differently
+    m = 18
+    gi = golden[m:-m, m:-m, :inner]
+    mi = mine[m:-m, m:-m, :inner]
+    err = np.abs(gi - mi)
+    assert err.mean() < 5e-3, err.mean()
+    assert (err < 0.05).mean() > 0.99, (err < 0.05).mean()
+    # outermost ring: same energy scale, loose agreement
+    go = golden[m:-m, m:-m, inner:]
+    mo = mine[m:-m, m:-m, inner:]
+    assert abs(go.mean() - mo.mean()) < 0.02

@@ -62,6 +62,7 @@ def street_raw():
     return img, model
 
 
+@pytest.mark.slow
 def test_dpm_raw_windows(street_raw):
     """Window-level parity: every raw (min_neighbors=0) comp above 0.4."""
     from ccv_tpu.detectors import dpm
@@ -84,6 +85,7 @@ def test_dpm_raw_windows(street_raw):
     assert matched >= n - 1, (matched, n)
 
 
+@pytest.mark.slow
 def test_dpm_grouped(street_raw):
     """End-to-end default-params detection matches dpmdetect."""
     from ccv_tpu.detectors import dpm
@@ -98,3 +100,28 @@ def test_dpm_grouped(street_raw):
         assert abs(r.x - gx) <= 3 and abs(r.y - gy) <= 3
         assert abs(r.width - gw) <= 4 and abs(r.height - gh) <= 4
         assert abs(r.confidence - gconf) < 0.05
+
+
+def test_dpm_small_interval():
+    """Default-tier gate: interval=0 pyramid (2 level programs vs 20)."""
+    from ccv_tpu.core.io import read, IO_RGB_COLOR
+    from ccv_tpu.detectors import dpm
+
+    img = read("/root/reference/samples/street.png", IO_RGB_COLOR)
+    model = dpm.read_mixture_model("/root/reference/samples/pedestrian.m")
+    out = dpm.detect(img.array, model,
+                     dpm.DpmParams(interval=0, min_neighbors=0,
+                                   threshold=0.4))
+    lines = [l for l in open(os.path.join(
+        DATA, "street.dpm_i0.txt")).read().split("\n") if l]
+    golden = [tuple(map(float, l.split())) for l in lines]
+    assert len(out) == len(golden), (len(out), len(golden))
+    matched = 0
+    for gx, gy, gw, gh, gconf in golden:
+        for r in out:
+            if (abs(r.x - gx) <= 3 and abs(r.y - gy) <= 3
+                    and abs(r.width - gw) <= 3 and abs(r.height - gh) <= 3
+                    and abs(r.confidence - gconf) < 0.05):
+                matched += 1
+                break
+    assert matched == len(golden), (matched, len(golden))

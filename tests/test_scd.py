@@ -38,6 +38,7 @@ def test_scd_map_matches_reference(crop):
     np.testing.assert_allclose(mine[..., 8:], golden[..., 8:], atol=1e-4)
 
 
+@pytest.mark.slow
 def test_scd_detect_window_parity(crop):
     casc = scd.load_cascade(os.path.join(DATA, "face_low.sqlite3"))
     out = scd.detect(crop.array, casc, scd.ScdParams(min_neighbors=0))
@@ -56,6 +57,7 @@ def test_scd_detect_window_parity(crop):
     assert max(diffs) < 2e-2, f"max confidence diff {max(diffs)}"
 
 
+@pytest.mark.slow
 def test_scd_merge_min_neighbors(crop):
     # grouping keeps only clusters of >= min_neighbors windows
     casc = scd.load_cascade(os.path.join(DATA, "face_low.sqlite3"))
@@ -65,8 +67,27 @@ def test_scd_merge_min_neighbors(crop):
     assert all(c.neighbors >= 2 for c in merged)
 
 
+@pytest.mark.slow
 def test_scd_real_cascade_no_faces(crop):
     # the real cascade should reject a chessboard crop entirely
     casc = scd.load_cascade("/root/reference/samples/face.sqlite3")
     out = scd.detect(crop.array, casc)
     assert out == []
+
+
+def test_scd_window_parity_small(crop):
+    """Default-tier gate: interval=1 pyramid (4 level programs instead of
+    16) against a reference oracle generated with the same params
+    (tests/data/gen/gen_fast.c)."""
+    casc = scd.load_cascade(os.path.join(DATA, "face_low.sqlite3"))
+    out = scd.detect(crop.array, casc,
+                     scd.ScdParams(min_neighbors=0, interval=1))
+    mine = {(int(c.x), int(c.y), int(c.width), int(c.height)): c.confidence
+            for c in out}
+    ref = {}
+    for line in open(os.path.join(DATA, "crop180.scd_i1.txt")):
+        x, y, w, h, conf = line.split()
+        ref[(int(x), int(y), int(w), int(h))] = float(conf)
+    assert set(mine) == set(ref), (len(mine), len(ref))
+    diffs = [abs(mine[k] - ref[k]) for k in ref]
+    assert max(diffs) < 6e-3, max(diffs)

@@ -12,7 +12,8 @@ from ccv_tpu.nn import ops
 from ccv_tpu.parallel.sequence import ring_attention
 
 
-@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("causal", [
+    False, pytest.param(True, marks=pytest.mark.slow)])
 def test_ring_attention_matches_sdpa(causal):
     devices = np.array(jax.devices()[:8])
     mesh = Mesh(devices, ("seq",))

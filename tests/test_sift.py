@@ -26,11 +26,13 @@ requires_reference = pytest.mark.skipif(
 
 @pytest.fixture(scope="module")
 def book_result():
+    # slow tier only (82s of CPU pyramid compiles)
     img = read(os.path.join(REF_SAMPLES, "book.png"), IO_GRAY)
     return sift.sift(img.array)
 
 
 @requires_reference
+@pytest.mark.slow
 def test_sift_keypoints_match_reference(book_result):
     kps, desc = book_result
     ref = np.loadtxt(os.path.join(DATA, "book.sift.txt"))
@@ -46,9 +48,16 @@ def test_sift_keypoints_match_reference(book_result):
     assert frac >= 0.97, f"only {frac:.3f} of reference keypoints matched"
 
 
+@pytest.fixture(scope="module")
+def crop_result():
+    img = read(os.path.join(REF_SAMPLES, "book.png"), IO_GRAY)
+    crop = np.asarray(img.numpy())[60:220, 60:220]
+    return sift.sift(crop, sift.SiftParams(noctaves=2, up2x=False))
+
+
 @requires_reference
-def test_sift_descriptors_normalized(book_result):
-    kps, desc = book_result
+def test_sift_descriptors_normalized(crop_result):
+    kps, desc = crop_result
     assert desc.shape == (len(kps), 128)
     norms = np.linalg.norm(desc, axis=1)
     nz = norms > 0
@@ -67,3 +76,23 @@ def test_match_ratio_test():
     idx, ok = sift.match(d1, d2)
     assert list(idx) == [3, 7, 11]
     assert ok.all()
+
+
+@requires_reference
+def test_sift_keypoints_crop_small():
+    """Default-tier gate: 160x160 crop, 2 octaves, no 2x upsampling
+    (oracle: tests/data/gen/gen_fast.c)."""
+    img = read(os.path.join(REF_SAMPLES, "book.png"), IO_GRAY)
+    crop = np.asarray(img.numpy())[60:220, 60:220]
+    kps, desc = sift.sift(crop, sift.SiftParams(noctaves=2, up2x=False))
+    ref = np.loadtxt(os.path.join(DATA, "book_crop.sift.txt"))
+    mine = np.array([[k["x"], k["y"], k["scale"]] for k in kps])
+    assert abs(len(mine) - len(ref)) <= max(2, 0.03 * len(ref))
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(mine[:, :2])
+    d, idx = tree.query(ref[:, :2], k=1)
+    pos_ok = d < 1.0
+    scale_ok = np.abs(mine[idx, 2] - ref[:, 4]) < 0.05 * ref[:, 4] + 1e-3
+    frac = (pos_ok & scale_ok).mean()
+    assert frac >= 0.95, f"only {frac:.3f} of reference keypoints matched"

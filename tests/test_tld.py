@@ -32,6 +32,7 @@ def frames():
     return [img[dy:dy + H, dx:dx + W] for dx, dy in shifts], shifts
 
 
+@pytest.mark.slow
 def test_tld_tracks_shift(frames):
     from ccv_tpu.detectors import tld
 
@@ -47,6 +48,7 @@ def test_tld_tracks_shift(frames):
         assert iou(box, expect) > 0.5, (i, box, expect)
 
 
+@pytest.mark.slow
 def test_tld_relocates_after_occlusion(frames):
     """Blank the scene for one frame: found goes False, then the
     ferns+NNC detector relocates the target."""
