@@ -31,6 +31,10 @@ def _build() -> bool:
 
 def load() -> Optional[ctypes.CDLL]:
     global _lib
+    from ccv_tpu.utils import flags as _flags
+
+    if _flags.is_set(_flags.DISABLE_NATIVE_RUNTIME):
+        return None
     if _lib is not None:
         return _lib
     if not os.path.exists(_LIB_PATH) and not _build():

@@ -411,7 +411,10 @@ class ScaledDotProductAttention(Layer):
         q = q.reshape(B, T, self.heads, self.dim)
         k = k.reshape(B, T, self.heads, self.dim)
         v = v.reshape(B, T, self.heads, self.dim)
-        if jax.default_backend() == "tpu" and T >= 1024:
+        from ccv_tpu.utils import flags as _flags
+
+        if (jax.default_backend() == "tpu" and T >= 1024
+                and not _flags.is_set(_flags.DISABLE_PALLAS_FLASH_ATTENTION)):
             # long sequences: the Pallas flash kernel (scores never hit HBM)
             from ccv_tpu.ops.pallas import flash_attention
 

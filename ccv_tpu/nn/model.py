@@ -96,8 +96,11 @@ class Sequential:
             apply = layer.apply
             if self.checkpointing and training:
                 apply = jax.checkpoint(apply, static_argnums=())
+            from ccv_tpu.utils import flags as _flags
+
             if (getattr(self, "memory_compression", False) and training
-                    and hasattr(x, "ndim") and x.ndim == 4):
+                    and hasattr(x, "ndim") and x.ndim == 4
+                    and not _flags.is_set(_flags.DISABLE_MEMORY_COMPRESSION)):
                 from ccv_tpu.nn.compression import compressed_apply
 
                 y, ns = compressed_apply(apply, x.shape, x.dtype, training)(
