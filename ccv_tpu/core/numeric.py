@@ -223,3 +223,34 @@ def minimize(fn: Callable, x0, max_iter: int = 100, red: float = 1.0):
             x3 = 1.0 / (1.0 - float(d0))
             ls_failed = True
     return x, f0
+
+
+# ---------------------------------------------------------------------------
+# linear algebra (ccv.h:1098-1100)
+# ---------------------------------------------------------------------------
+
+def invert(a):
+    """ccv_invert twin: matrix inverse (the reference computes the
+    Moore-Penrose pseudo-inverse via its own QR; jnp.linalg handles both
+    square and rectangular through pinv)."""
+    a = jnp.asarray(a, jnp.float32)
+    if a.shape[-1] == a.shape[-2]:
+        return jnp.linalg.inv(a)
+    return jnp.linalg.pinv(a)
+
+
+def solve(a, b):
+    """ccv_solve twin: least-squares solve of a x = b."""
+    a = jnp.asarray(a, jnp.float32)
+    b = jnp.asarray(b, jnp.float32)
+    return jnp.linalg.lstsq(a, b)[0]
+
+
+def eigen(a):
+    """ccv_eigen twin (real symmetric input): returns (vectors, lambdas)
+    with eigenvectors as ROWS like the reference (Jacobi sweep output),
+    sorted by descending eigenvalue."""
+    a = jnp.asarray(a, jnp.float32)
+    lam, vec = jnp.linalg.eigh(a)          # ascending
+    order = jnp.argsort(-lam)
+    return vec[:, order].T, lam[order]

@@ -84,3 +84,23 @@ def test_uint8_odd_width_step_padding(tmp_path):
     p = str(tmp_path / "odd.bin")
     write_ccv_binary(from_numpy(arr), p)
     np.testing.assert_array_equal(read(p).numpy(), arr)
+
+
+def test_numeric_linear_algebra():
+    """ccv_invert / ccv_solve / ccv_eigen twins."""
+    import numpy as np
+
+    from ccv_tpu.core import numeric
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((5, 5)).astype(np.float32)
+    a = a @ a.T + 5 * np.eye(5, dtype=np.float32)  # SPD
+    inv = np.asarray(numeric.invert(a))
+    np.testing.assert_allclose(inv @ a, np.eye(5), atol=1e-4)
+    b = rng.standard_normal((5, 2)).astype(np.float32)
+    x = np.asarray(numeric.solve(a, b))
+    np.testing.assert_allclose(a @ x, b, atol=1e-3)
+    vec, lam = map(np.asarray, numeric.eigen(a))
+    assert (np.diff(lam) <= 1e-5).all()  # descending
+    for i in range(5):
+        np.testing.assert_allclose(a @ vec[i], lam[i] * vec[i], atol=1e-3)
