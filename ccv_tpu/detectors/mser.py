@@ -35,9 +35,9 @@ class MserParams:
     min_diversity: float = 0.2
     direction: int = DARK_TO_BRIGHT
     range: int = 255
-    # MSCR
+    # MSCR (defaults from the msermatch tool, bin/msermatch.c:20-30)
     night: int = 0
-    area_threshold: float = 1e-1
+    area_threshold: float = 1.01
     min_margin: float = 3e-3
     max_evolution: int = 200
     edge_blur_sigma: float = 1.0
