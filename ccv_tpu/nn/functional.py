@@ -426,3 +426,262 @@ Model.read = _model_read
 
 
 _install_lifecycle()
+
+
+# ---------------------------------------------------------------------------
+# remaining simple ctors of ccv_cnnp_model_addons.c
+# ---------------------------------------------------------------------------
+
+class _ElemwiseBinary(Layer):
+    n_inputs = "many"
+
+    def init(self, key, in_shapes):
+        return {}, {}, in_shapes[0]
+
+
+class Div(_ElemwiseBinary):
+    """ccv_cnnp_div (optionally reciprocal)."""
+
+    def __init__(self, reciprocal: bool = False, name: str = "div"):
+        self.reciprocal = reciprocal
+        self.name = name
+
+    def apply(self, params, state, xs, training=False, key=None):
+        if self.reciprocal:
+            return 1.0 / xs[0], state
+        return xs[0] / xs[1], state
+
+
+class Max(_ElemwiseBinary):
+    """ccv_cnnp_max: elementwise maximum of two inputs."""
+
+    def __init__(self, name: str = "max"):
+        self.name = name
+
+    def apply(self, params, state, xs, training=False, key=None):
+        return jnp.maximum(xs[0], xs[1]), state
+
+
+class Min(_ElemwiseBinary):
+    """ccv_cnnp_min."""
+
+    def __init__(self, name: str = "min"):
+        self.name = name
+
+    def apply(self, params, state, xs, training=False, key=None):
+        return jnp.minimum(xs[0], xs[1]), state
+
+
+class Matmul(Layer):
+    """ccv_cnnp_matmul: batched matmul of two inputs with optional
+    transposes (the GEMM cmd's transpose pairs)."""
+
+    n_inputs = "many"
+
+    def __init__(self, transpose_a=False, transpose_b=False,
+                 name: str = "matmul"):
+        self.ta = transpose_a
+        self.tb = transpose_b
+        self.name = name
+
+    def init(self, key, in_shapes):
+        a, b = in_shapes
+        a = a[:-2] + (a[-1], a[-2]) if self.ta else a
+        b = b[:-2] + (b[-1], b[-2]) if self.tb else b
+        return {}, {}, tuple(a[:-1]) + (b[-1],)
+
+    def apply(self, params, state, xs, training=False, key=None):
+        a, b = xs
+        if self.ta:
+            a = jnp.swapaxes(a, -1, -2)
+        if self.tb:
+            b = jnp.swapaxes(b, -1, -2)
+        return jnp.matmul(a, b, preferred_element_type=jnp.float32).astype(
+            xs[0].dtype), state
+
+
+class CMul(_ElemwiseBinary):
+    """ccv_cnnp_cmul: complex elementwise product; the last axis holds
+    interleaved (re, im) pairs (the GEMM cmd's complex layout)."""
+
+    def __init__(self, name: str = "cmul"):
+        self.name = name
+
+    def apply(self, params, state, xs, training=False, key=None):
+        a, b = xs
+        ar, ai = a[..., 0::2], a[..., 1::2]
+        br, bi = b[..., 0::2], b[..., 1::2]
+        re = ar * br - ai * bi
+        im = ar * bi + ai * br
+        out = jnp.stack([re, im], axis=-1).reshape(a.shape)
+        return out, state
+
+
+class MaskedFill(Layer):
+    """ccv_cnnp_masked_fill: x where mask != eq, else fill."""
+
+    n_inputs = "many"
+
+    def __init__(self, eq: float = 0.0, fill: float = -1e9,
+                 name: str = "masked_fill"):
+        self.eq = eq
+        self.fill = fill
+        self.name = name
+
+    def init(self, key, in_shapes):
+        return {}, {}, in_shapes[0]
+
+    def apply(self, params, state, xs, training=False, key=None):
+        x, mask = xs
+        return jnp.where(mask == self.eq, jnp.asarray(self.fill, x.dtype),
+                         x), state
+
+
+class Scalar(Layer):
+    """ccv_cnnp_scalar: a constant scalar tensor node (broadcast to the
+    input's leading shape)."""
+
+    def __init__(self, value: float, name: str = "scalar"):
+        self.value = value
+        self.name = name
+
+    def init(self, key, in_shape):
+        return {}, {}, ()
+
+    def apply(self, params, state, x, training=False, key=None):
+        return jnp.asarray(self.value, jnp.float32), state
+
+
+class ScalarMul(Layer):
+    """ccv_cnnp_scalar_mul: x * a."""
+
+    def __init__(self, a: float, name: str = "scalar_mul"):
+        self.a = a
+        self.name = name
+
+    def apply(self, params, state, x, training=False, key=None):
+        return x * self.a, state
+
+
+class Clamp(Layer):
+    """ccv_cnnp_clamp."""
+
+    def __init__(self, lo=None, hi=None, name: str = "clamp"):
+        self.lo = lo
+        self.hi = hi
+        self.name = name
+
+    def apply(self, params, state, x, training=False, key=None):
+        return jnp.clip(x, self.lo, self.hi), state
+
+
+class Sqrt(Layer):
+    """ccv_cnnp_sqrt."""
+
+    def __init__(self, name: str = "sqrt"):
+        self.name = name
+
+    def apply(self, params, state, x, training=False, key=None):
+        return jnp.sqrt(x), state
+
+
+class ArgMax(Layer):
+    """ccv_cnnp_argmax."""
+
+    def __init__(self, axis: int = -1, name: str = "argmax"):
+        self.axis = axis
+        self.name = name
+
+    def init(self, key, in_shape):
+        out = list(in_shape)
+        del out[self.axis]
+        return {}, {}, tuple(out)
+
+    def apply(self, params, state, x, training=False, key=None):
+        return jnp.argmax(x, axis=self.axis), state
+
+
+class ArgMin(ArgMax):
+    """ccv_cnnp_argmin."""
+
+    def __init__(self, axis: int = -1, name: str = "argmin"):
+        super().__init__(axis, name)
+
+    def apply(self, params, state, x, training=False, key=None):
+        return jnp.argmin(x, axis=self.axis), state
+
+
+class DatatypeConversion(Layer):
+    """ccv_cnnp_datatype_conversion."""
+
+    def __init__(self, dtype, name: str = "cast"):
+        self.dtype = dtype
+        self.name = name
+
+    def apply(self, params, state, x, training=False, key=None):
+        return x.astype(self.dtype), state
+
+
+class Contiguous(Layer):
+    """ccv_cnnp_contiguous / ccv_cnnp_move: identity in XLA-land (layout
+    is the compiler's business); kept for API parity."""
+
+    def __init__(self, name: str = "contiguous"):
+        self.name = name
+
+    def apply(self, params, state, x, training=False, key=None):
+        return x, state
+
+
+Move = Contiguous  # ccv_cnnp_move
+
+
+class Parameter(Layer):
+    """ccv_cnnp_parameter: a free trainable tensor node (no inputs used)."""
+
+    def __init__(self, shape, init_bound: float = 0.0, name: str = "param"):
+        self.shape = tuple(shape)
+        self.init_bound = init_bound
+        self.name = name
+
+    def init(self, key, in_shape):
+        if self.init_bound:
+            p = jax.random.uniform(key, self.shape, jnp.float32,
+                                   -self.init_bound, self.init_bound)
+        else:
+            p = jnp.zeros(self.shape, jnp.float32)
+        return {"w": p}, {}, self.shape
+
+    def apply(self, params, state, x, training=False, key=None):
+        return params["w"], state
+
+
+class Variable(Layer):
+    """ccv_cnnp_variable: a free NON-trainable tensor node."""
+
+    def __init__(self, shape, name: str = "variable"):
+        self.shape = tuple(shape)
+        self.name = name
+
+    def init(self, key, in_shape):
+        return {}, {"v": jnp.zeros(self.shape, jnp.float32)}, self.shape
+
+    def apply(self, params, state, x, training=False, key=None):
+        return state["v"], state
+
+
+class Extract(Pick):
+    """ccv_cnnp_extract: select one output of a multi-output node."""
+
+
+class Debug(Layer):
+    """ccv_cnnp_debug: identity that calls back with the value (uses
+    jax.debug.callback so it works under jit)."""
+
+    def __init__(self, fn=None, name: str = "debug"):
+        self.fn = fn or (lambda v: print(f"[debug:{name}]", v.shape))
+        self.name = name
+
+    def apply(self, params, state, x, training=False, key=None):
+        jax.debug.callback(self.fn, x)
+        return x, state

@@ -121,3 +121,57 @@ def test_data_parallel_graph_model():
     Y = np.random.default_rng(3).integers(0, 4, (16,))
     loss = m.fit(X, Y)
     assert np.isfinite(loss)
+
+
+def test_remaining_simple_ctors():
+    """Touch every remaining addon ctor (ccv_cnnp_model_addons.c parity)."""
+    from ccv_tpu.nn.functional import (ArgMax, ArgMin, Clamp, CMul,
+                                       Contiguous, DatatypeConversion, Div,
+                                       MaskedFill, Matmul, Max, Min, Move,
+                                       Parameter, Scalar, ScalarMul, Sqrt,
+                                       Variable)
+
+    a = Input()
+    b = Input()
+    nodes = {
+        "div": Div()(a, b),
+        "max": Max()(a, b),
+        "min": Min()(a, b),
+        "matmul": Matmul(transpose_b=True)(a, b),
+        "masked": MaskedFill(0.0, -1.0)(a, b),
+        "smul": ScalarMul(2.5)(a),
+        "clamp": Clamp(0.0, 1.0)(a),
+        "sqrt": Sqrt()(Clamp(0.0, None)(a)),
+        "argmax": ArgMax()(a),
+        "argmin": ArgMin()(a),
+        "cast": DatatypeConversion(jnp.bfloat16)(a),
+        "contig": Contiguous()(a),
+        "move": Move()(a),
+        "param": Parameter((3,), 0.1)(a),
+        "variable": Variable((3,))(a),
+        "cmul": CMul()(a, b),
+    }
+    m = Model([a, b], list(nodes.values()))
+    shapes = m.build([(2, 4), (2, 4)])
+    x = np.abs(np.random.default_rng(0).standard_normal((2, 4))
+               ).astype(np.float32)
+    ydata = np.abs(np.random.default_rng(1).standard_normal((2, 4))
+                   ).astype(np.float32) + 0.5
+    outs = m([x, ydata])
+    res = dict(zip(nodes, outs))
+    np.testing.assert_allclose(np.asarray(res["div"]), x / ydata, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(res["max"]), np.maximum(x, ydata))
+    np.testing.assert_allclose(np.asarray(res["matmul"]), x @ ydata.T,
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(res["smul"]), x * 2.5)
+    assert np.asarray(res["argmax"]).shape == (2,)
+    assert res["cast"].dtype == jnp.bfloat16
+    assert np.asarray(res["param"]).shape == (3,)
+    # complex mul: (1+2i) * (3+4i) = -5 + 10i
+    c1 = np.array([[1.0, 2.0, 0.0, 1.0]], np.float32)
+    c2 = np.array([[3.0, 4.0, 2.0, 0.0]], np.float32)
+    from ccv_tpu.nn.functional import CMul as _CMul
+
+    out, _ = _CMul().apply({}, {}, [jnp.asarray(c1), jnp.asarray(c2)])
+    np.testing.assert_allclose(np.asarray(out),
+                               [[-5.0, 10.0, 0.0, 2.0]], atol=1e-6)
