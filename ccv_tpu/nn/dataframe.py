@@ -166,3 +166,57 @@ class Dataframe:
             if item is stop:
                 break
             yield item
+
+    # -- remaining add-ons (ccv_cnnp_dataframe_addons.c / _core.c) ----------
+    def one_squared(self, name: str, src: str, max_length: int,
+                    fill: float = 0.0) -> "Dataframe":
+        """ccv_cnnp_dataframe_one_squared twin: pad/truncate 1-D sequences
+        to a fixed length (the NLP batching helper)."""
+        def fn(v):
+            v = np.atleast_1d(np.asarray(v))
+            out = np.full(max_length, fill, v.dtype)
+            out[:min(len(v), max_length)] = v[:max_length]
+            return out
+
+        return self.map(name, fn, [src])
+
+    def copy_scalar(self, name: str, value) -> "Dataframe":
+        """ccv_cnnp_dataframe_copy_scalar twin: a constant column."""
+        self._derived[name] = (lambda: value, [])
+        return self
+
+    def sample(self, size: int, seed: Optional[int] = None) -> "Dataframe":
+        """ccv_cnnp_dataframe_sample_new twin: random subset view."""
+        rng = np.random.default_rng(seed)
+        idx = rng.choice(self.n, size=min(size, self.n), replace=False)
+        out = Dataframe(dict(self._columns), self.n)
+        out._derived = dict(self._derived)
+        out._order = self._order[np.sort(idx)]
+        out.n = len(out._order)
+        return out
+
+    def truncate(self, size: int) -> "Dataframe":
+        """ccv_cnnp_dataframe_truncate twin: first `size` rows view."""
+        out = Dataframe(dict(self._columns), self.n)
+        out._derived = dict(self._derived)
+        out._order = self._order[:size]
+        out.n = len(out._order)
+        return out
+
+    def combine(self, other: "Dataframe") -> "Dataframe":
+        """ccv_cnnp_dataframe_combine_new twin: row-wise concatenation of
+        two dataframes with the same columns."""
+        cols = {}
+        for name in self._columns:
+            a = [self._row(name, int(i)) for i in self._order]
+            b = [other._row(name, int(i)) for i in other._order]
+            cols[name] = list(a) + list(b)
+        return Dataframe(cols, self.n + other.n)
+
+    def make_tuple(self, name: str, srcs: Sequence[str]) -> "Dataframe":
+        """ccv_cnnp_dataframe_make_tuple twin."""
+        return self.map(name, lambda *vals: tuple(vals), list(srcs))
+
+    def extract_tuple(self, name: str, src: str, index: int) -> "Dataframe":
+        """ccv_cnnp_dataframe_extract_tuple twin."""
+        return self.map(name, lambda t: t[index], [src])

@@ -109,3 +109,27 @@ class TestLog:
         out = capsys.readouterr()
         assert "info 42" in out.out
         assert "hidden" not in out.out
+
+
+def test_dataframe_remaining_addons():
+    """one_squared / copy_scalar / sample / truncate / combine /
+    make_tuple / extract_tuple twins."""
+    import numpy as np
+
+    from ccv_tpu.nn.dataframe import Dataframe
+
+    df = Dataframe.from_arrays(x=np.arange(10), y=np.arange(10) * 2)
+    df.one_squared("seq", "x", max_length=3)
+    df.copy_scalar("k", 7)
+    df.make_tuple("t", ["x", "y"])
+    df.extract_tuple("y2", "t", 1)
+    row = df.row(4, ["seq", "k", "y2"])
+    assert row[0].shape == (3,) and row[1] == 7 and row[2] == 8
+    tr = df.truncate(4)
+    assert tr.n == 4
+    sm = df.sample(5, seed=0)
+    assert sm.n == 5
+    both = tr.combine(tr)
+    assert both.n == 8
+    xs = [both.row(i, ["x"])[0] for i in range(8)]
+    assert xs[:4] == xs[4:]
