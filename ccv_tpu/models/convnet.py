@@ -430,3 +430,116 @@ class Convnet:
         order = np.argsort(-probs, kind="stable")[:tops]
         denom = z.shape[0]
         return [(int(i), float(probs[i] / denom)) for i in order]
+
+
+# ---------------------------------------------------------------------------
+# supervised training (ccv_convnet_supervised_train, ccv_convnet.c:1304)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class ConvnetTrainParams:
+    """ccv_convnet_train_param_t twin (flattened: one learn-rate set for
+    all layers; per-layer arrays accepted too)."""
+
+    max_epoch: int = 10
+    mini_batch: int = 64
+    learn_rate: float = 0.01
+    momentum: float = 0.9
+    decay: float = 0.0005
+    symmetric: bool = False   # random horizontal flips like the reference
+
+
+def _trainable(layers):
+    return [i for i, l in enumerate(layers)
+            if l.type in (CONVOLUTIONAL, FULL_CONNECT)]
+
+
+def supervised_train(net: "Convnet", images, labels,
+                     params: Optional[ConvnetTrainParams] = None,
+                     filename: Optional[str] = None,
+                     tests: Optional[tuple] = None,
+                     rng_seed: int = 0):
+    """Train the legacy convnet with SGD+momentum+decay (the reference's
+    update rule, ccv_convnet.c _ccv_convnet_update) on (N, H, W, C) uint8
+    images + int labels. Saves progress to `filename` (the resumable
+    working-file behavior) after every epoch; returns per-epoch
+    (loss, test_accuracy) history."""
+    import numpy as onp
+
+    params = params or ConvnetTrainParams()
+    idxs = _trainable(net.layers)
+    weights = [jnp.asarray(net.layers[i].w) for i in idxs]
+    biases = [jnp.asarray(net.layers[i].bias) for i in idxs]
+    vel = [jnp.zeros_like(w) for w in weights] + \
+          [jnp.zeros_like(b) for b in biases]
+
+    layer_list = net.layers
+
+    def forward(ws, bs, x):
+        for i, lay in enumerate(layer_list):
+            if lay.type in (CONVOLUTIONAL, FULL_CONNECT):
+                k = idxs.index(i)
+                lay = dataclasses.replace(lay, w=ws[k], bias=bs[k])
+            if lay.type == FULL_CONNECT and x.ndim > 2:
+                x = x.reshape(x.shape[0], -1)
+            x = _layer_forward(lay, x)
+        return x
+
+    def loss_fn(ws, bs, x, y):
+        logits = forward(ws, bs, x)
+        logp = jax.nn.log_softmax(logits)
+        nll = -jnp.take_along_axis(logp, y[:, None], axis=1).mean()
+        return nll
+
+    @jax.jit
+    def step(ws, bs, vel, x, y):
+        loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            ws, bs, x, y)
+        gw, gb = grads
+        flat_p = list(ws) + list(bs)
+        flat_g = list(gw) + list(gb)
+        new_v = [params.momentum * v - params.decay * params.learn_rate * p
+                 - params.learn_rate * g
+                 for v, p, g in zip(vel, flat_p, flat_g)]
+        new_p = [p + v for p, v in zip(flat_p, new_v)]
+        k = len(ws)
+        return new_p[:k], new_p[k:], new_v, loss
+
+    rng = onp.random.default_rng(rng_seed)
+    x_all = onp.asarray(images, onp.float32)
+    if net.mean_activity is not None:
+        x_all = x_all - net.mean_activity[None]
+    y_all = onp.asarray(labels, onp.int32)
+    n = len(x_all)
+    history = []
+    for epoch in range(params.max_epoch):
+        order = rng.permutation(n)
+        losses = []
+        for b in range(0, n - params.mini_batch + 1, params.mini_batch):
+            sel = order[b:b + params.mini_batch]
+            xb = x_all[sel]
+            if params.symmetric:
+                flip = rng.random(len(sel)) < 0.5
+                xb = xb.copy()
+                xb[flip] = xb[flip, :, ::-1]
+            weights, biases, vel, loss = step(
+                weights, biases, vel, jnp.asarray(xb),
+                jnp.asarray(y_all[sel]))
+            losses.append(float(loss))
+        acc = None
+        if tests is not None:
+            tx, ty = tests
+            txf = onp.asarray(tx, onp.float32)
+            if net.mean_activity is not None:
+                txf = txf - net.mean_activity[None]
+            logits = forward(weights, biases, jnp.asarray(txf))
+            acc = float((onp.asarray(jnp.argmax(logits, -1))
+                         == onp.asarray(ty)).mean())
+        history.append((float(onp.mean(losses)), acc))
+        # write back + persist (the reference saves net+momentum each epoch)
+        for k, i in enumerate(idxs):
+            net.layers[i].w = onp.asarray(weights[k])
+            net.layers[i].bias = onp.asarray(biases[k])
+        if filename:
+            net.write(filename)
+    return history
