@@ -110,3 +110,37 @@ def compress_symmetric(sm: SparseMatrix) -> SparseMatrix:
         if i >= j:
             out.set(i, j, v)
     return out
+
+
+# ---------------------------------------------------------------------------
+# BCOO sparse matrix (device-native; the COO dict above is the host-side
+# builder, this is the compute representation)
+# ---------------------------------------------------------------------------
+
+def sparse_to_bcoo(sp):
+    """SparseMatrix -> jax.experimental.sparse.BCOO for device compute
+    (matmuls against dense operands lower to XLA gather/scatter)."""
+    import jax.numpy as jnp
+    from jax.experimental import sparse as jsparse
+
+    items = sorted(sp.data.items())
+    if not items:
+        idx = jnp.zeros((0, 2), jnp.int32)
+        data = jnp.zeros((0,), jnp.float32)
+    else:
+        idx = jnp.asarray([[i, j] for (i, j), _ in items], jnp.int32)
+        data = jnp.asarray([v for _, v in items], jnp.float32)
+    return jsparse.BCOO((data, idx), shape=(sp.rows, sp.cols))
+
+
+def bcoo_to_sparse(mat):
+    """BCOO -> SparseMatrix (host)."""
+    import numpy as np
+
+    sp = SparseMatrix(int(mat.shape[0]), int(mat.shape[1]))
+    idx = np.asarray(mat.indices)
+    data = np.asarray(mat.data)
+    for (i, j), v in zip(idx.tolist(), data.tolist()):
+        if v != 0:
+            sp.data[(int(i), int(j))] = v
+    return sp

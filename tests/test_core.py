@@ -104,3 +104,22 @@ def test_numeric_linear_algebra():
     assert (np.diff(lam) <= 1e-5).all()  # descending
     for i in range(5):
         np.testing.assert_allclose(a @ vec[i], lam[i] * vec[i], atol=1e-3)
+
+
+def test_sparse_bcoo_roundtrip():
+    """SparseMatrix <-> BCOO and a device sparse-dense matmul."""
+    import numpy as np
+
+    from ccv_tpu.core.util import SparseMatrix, bcoo_to_sparse, sparse_to_bcoo
+
+    sp = SparseMatrix(4, 5)
+    sp.set(0, 1, 2.0)
+    sp.set(3, 4, -1.5)
+    sp.set(2, 2, 7.0)
+    m = sparse_to_bcoo(sp)
+    dense = np.zeros((4, 5), np.float32)
+    dense[0, 1], dense[3, 4], dense[2, 2] = 2.0, -1.5, 7.0
+    x = np.arange(5, dtype=np.float32)
+    np.testing.assert_allclose(np.asarray(m @ x), dense @ x)
+    back = bcoo_to_sparse(m)
+    assert back.data == sp.data
