@@ -318,3 +318,103 @@ def detect_objects(a, cascades, params: Optional[IcfParams] = None) -> List[Comp
             if flag:
                 result.append(r1)
     return result
+
+
+# ---------------------------------------------------------------------------
+# type-B multiscale cascades (ccv_icf_multiscale_classifier_cascade_t)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class IcfMultiscaleCascade:
+    """ccv_icf_multiscale_classifier_cascade_t twin: per-scale type-A
+    cascades covering one octave; the pyramid only needs sample_down
+    between octaves (no INTER_AREA levels)."""
+
+    octave: int
+    grayscale: int
+    cascades: List[IcfCascade]
+
+    @property
+    def count(self):
+        return len(self.cascades)
+
+
+def load_multiscale_cascade(directory: str) -> IcfMultiscaleCascade:
+    """ccv_icf_read_multiscale_classifier_cascade twin (directory with a
+    `multiscale` file + cascade-N files, ccv_icf.c:1893)."""
+    import os
+
+    with open(os.path.join(directory, "multiscale")) as f:
+        octave, count, grayscale = (int(t) for t in f.read().split()[:3])
+    cascades = [load_cascade(os.path.join(directory, f"cascade-{i + 1}"))
+                for i in range(count)]
+    return IcfMultiscaleCascade(octave=octave, grayscale=grayscale,
+                                cascades=cascades)
+
+
+def write_multiscale_cascade(ms: IcfMultiscaleCascade,
+                             directory: str) -> None:
+    """ccv_icf_write_multiscale_classifier_cascade twin."""
+    import os
+
+    from ccv_tpu.train.icf import write_cascade as _write
+
+    os.makedirs(directory, exist_ok=True)
+    with open(os.path.join(directory, "multiscale"), "w") as f:
+        f.write(f"{ms.octave} {ms.count} {ms.grayscale}\n")
+    for i, cas in enumerate(ms.cascades):
+        _write(cas, os.path.join(directory, f"cascade-{i + 1}"))
+
+
+def detect_multiscale(a, ms: IcfMultiscaleCascade,
+                      params: Optional[IcfParams] = None) -> List[Comp]:
+    """Type-B detection (ccv_icf.c:2055): one channel map + SAT per
+    octave; the per-scale cascades slide over it directly — the per-scale
+    TRAINING replaces the per-interval image resampling of type A."""
+    from ccv_tpu.core.dense_matrix import as_array
+
+    params = params or IcfParams()
+    img = as_array(a)
+    if img.ndim == 2:
+        img = img[..., None]
+    H, W = img.shape[0], img.shape[1]
+    min_h = min(c.height for c in ms.cascades)
+    min_w = min(c.width for c in ms.cascades)
+    scale_upto = max(1, int(math.log2(min(H / min_h, W / min_w))) + 1)
+    pyr = [jnp.asarray(img)]
+    for _ in range(1, scale_upto):
+        pyr.append(resample.sample_down(pyr[-1]))
+    comps: List[Comp] = []
+    step = params.step_through
+    for octave, level in enumerate(pyr):
+        chans = icf_channels(level[..., 0] if ms.grayscale else level)
+        sat = algebra.sat(chans, padding=algebra.PADDING_ZERO).astype(
+            jnp.float32)
+        mrows, mcols = sat.shape[0] - 1, sat.shape[1] - 1
+        for casc in ms.cascades:
+            ny = max(0, -(-(mrows - casc.height) // step))
+            nx = max(0, -(-(mcols - casc.width) // step))
+            if ny == 0 or nx == 0:
+                continue
+            idx, sign = _prepare_tables(casc, sat.shape[1], sat.shape[2])
+            passed, conf = _eval_level(
+                sat, jnp.asarray(idx), jnp.asarray(sign),
+                jnp.asarray(casc.alpha), jnp.asarray(casc.beta),
+                jnp.asarray(casc.pass_bits.astype(np.int32)),
+                jnp.asarray(casc.weigh), jnp.asarray(casc.thresholds),
+                ny=ny, nx=nx, step=step)
+            passed = np.asarray(passed)
+            conf = np.asarray(conf)
+            sc = float(1 << octave)
+            for widx in np.nonzero(passed)[0]:
+                wy, wx = divmod(int(widx), nx)
+                comps.append(Comp(
+                    x=int((wx * step + 0.5) * sc - 0.5),
+                    y=int((wy * step + 0.5) * sc - 0.5),
+                    width=int(casc.width * sc), height=int(casc.height * sc),
+                    confidence=float(conf[widx]), classification_id=1))
+    if params.min_neighbors == 0:
+        return comps
+    from ccv_tpu.detectors.common import merge_detections
+
+    return merge_detections(comps, params.min_neighbors)

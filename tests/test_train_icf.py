@@ -80,3 +80,47 @@ def test_icf_written_cascade_loads_and_detects(trained, tmp_path):
     # the planted bar is vertically self-similar, so several shifted
     # windows tie at max confidence; gate on overlap instead of position
     assert max(iou(c) for c in out) > 0.5, [(c.x, c.y) for c in out[:5]]
+
+
+def test_icf_multiscale_roundtrip_and_detect(trained, tmp_path):
+    """Type-B multiscale cascade: write/read the directory format and
+    detect through the per-scale path."""
+    from ccv_tpu.detectors import icf
+    from ccv_tpu.train import icf as train_icf
+
+    cascade, params = trained
+    # second scale: train at 1.25x the size on rescaled patches
+    import jax.numpy as jnp
+
+    from ccv_tpu.ops import resample
+
+    rng = np.random.default_rng(1)
+    size2 = (20, 40)
+    pos2 = _patches(80, size2, rng, True)
+    neg2 = _patches(160, size2, rng, False)
+    cas2 = train_icf.train_cascade(
+        pos2, neg2, train_icf.IcfTrainParams(size=size2, feature_size=300,
+                                             weak_classifier=10, seed=5))
+    ms = icf.IcfMultiscaleCascade(octave=1, grayscale=0,
+                                  cascades=[cascade, cas2])
+    d = str(tmp_path / "msdir")
+    icf.write_multiscale_cascade(ms, d)
+    ms2 = icf.load_multiscale_cascade(d)
+    assert ms2.count == 2 and ms2.octave == 1
+    np.testing.assert_allclose(ms2.cascades[0].weigh, cascade.weigh,
+                               rtol=1e-6)
+    scene = np.clip(np.random.default_rng(9).normal(60, 15, (96, 96, 3)),
+                    0, 255).astype(np.uint8)
+    scene[20:52, 40:56] = _patches(1, params.size,
+                                   np.random.default_rng(3), True)[0]
+    out = icf.detect_multiscale(scene, ms2,
+                                icf.IcfParams(min_neighbors=0, interval=1))
+    assert out
+
+    def iou(c):
+        ix = max(0, min(c.x + c.width, 56) - max(c.x, 40))
+        iy = max(0, min(c.y + c.height, 52) - max(c.y, 20))
+        inter = ix * iy
+        return inter / (c.width * c.height + 16 * 32 - inter)
+
+    assert max(iou(c) for c in out) > 0.5
