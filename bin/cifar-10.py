@@ -3,7 +3,7 @@
 (bin/cifar-10.c layer stack) with ccv_convnet_supervised_train semantics.
 
 Usage: cifar-10.py <train.npz> <test.npz> <out.sqlite3> [epochs]
-  npz files hold arrays x (N,32,32,3 uint8) and y (N int). With no
+  npz files hold arrays x (N,31,31,3 uint8) and y (N int). With no
   arguments, runs a short self-test on synthetic data."""
 
 import sys
@@ -39,18 +39,21 @@ def cifar10_net(seed=0):
                             in_channels=cin, in_partition=1, node_count=0,
                             size=3, kappa=1.0, alpha=1e-4, beta=0.75)
 
+    # the reference's exact geometry (bin/cifar-10.c): 31x31 inputs so
+    # every 3/2 pool divides evenly
     layers = [
-        conv(32, 32, 3, 32, 5, 2), pool(MAX_POOL, 32, 32, 32, 3, 2),
-        lrn(16, 16, 32),
-        conv(16, 16, 32, 32, 5, 2), pool(AVERAGE_POOL, 16, 16, 32, 3, 2),
-        lrn(8, 8, 32),
-        conv(8, 8, 32, 64, 5, 2), pool(AVERAGE_POOL, 8, 8, 64, 3, 2),
-        ConvnetLayer(type=FULL_CONNECT, in_rows=4, in_cols=4, in_channels=64,
-                     in_partition=1, node_count=4 * 4 * 64, count=10, relu=0,
-                     w=rng.normal(0, 0.05, (10, 1024)).astype(np.float32),
+        conv(31, 31, 3, 32, 5, 2), lrn(31, 31, 32),
+        pool(MAX_POOL, 31, 31, 32, 3, 2),
+        conv(15, 15, 32, 32, 5, 2), lrn(15, 15, 32),
+        pool(AVERAGE_POOL, 15, 15, 32, 3, 2),
+        conv(7, 7, 32, 64, 5, 2),
+        pool(AVERAGE_POOL, 7, 7, 64, 3, 2),
+        ConvnetLayer(type=FULL_CONNECT, in_rows=3, in_cols=3, in_channels=64,
+                     in_partition=1, node_count=3 * 3 * 64, count=10, relu=0,
+                     w=rng.normal(0, 0.05, (10, 576)).astype(np.float32),
                      bias=np.zeros(10, np.float32)),
     ]
-    return Convnet(layers, (32, 32))
+    return Convnet(layers, (31, 31))
 
 
 def main():
@@ -66,7 +69,7 @@ def main():
     else:
         print("(no dataset given: synthetic self-test)")
         rng = np.random.default_rng(0)
-        xtr = rng.integers(0, 256, (256, 32, 32, 3), dtype=np.uint8)
+        xtr = rng.integers(0, 256, (256, 31, 31, 3), dtype=np.uint8)
         ytr = (xtr.mean(axis=(1, 2, 3)) > 127.5).astype(np.int32)
         xte, yte = xtr[:64], ytr[:64]
         out, epochs = "/tmp/cifar10_selftest.sqlite3", 2

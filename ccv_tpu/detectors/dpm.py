@@ -306,6 +306,8 @@ def detect(img, models, params: Optional[DpmParams] = None) -> List[RootComp]:
                        & (xs >= rww) & (xs < score_h.shape[1] - rww_1))
                 ys, xs = ys[sel], xs[sel]
                 if len(ys):
+                    # the part planes are large; fetch them only for the
+                    # (rare) levels where a window passes the threshold
                     pf_h = np.asarray(pf)
                     dx_h = np.asarray(dxm)
                     dy_h = np.asarray(dym)

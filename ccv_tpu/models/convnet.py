@@ -181,24 +181,30 @@ def _layer_forward(layer: ConvnetLayer, x: jax.Array) -> jax.Array:
                        precision=jax.lax.Precision.HIGHEST) \
             + jnp.asarray(layer.bias)
         return jnp.maximum(y, 0.0) if layer.relu else y
-    if layer.type == MAX_POOL:
-        return jax.lax.reduce_window(
-            x, -jnp.inf, jax.lax.max,
-            (1, layer.size, layer.size, 1), (1, layer.strides, layer.strides, 1),
-            [(0, 0), (layer.border, layer.border),
-             (layer.border, layer.border), (0, 0)])
-    if layer.type == AVERAGE_POOL:
+    if layer.type in (MAX_POOL, AVERAGE_POOL):
+        # the reference's output size ceils ((in+2b-size+stride-1)//stride+1,
+        # inc/ccv_convnet_internal.h): windows may overhang the right/bottom
+        # edge; overhanging cells read nothing (max) / divide by the actual
+        # overlap (avg, ccv_convnet.c:556-562)
+        H, W = x.shape[1], x.shape[2]
+        out_r = (H + 2 * layer.border - layer.size
+                 + layer.strides - 1) // layer.strides + 1
+        out_c = (W + 2 * layer.border - layer.size
+                 + layer.strides - 1) // layer.strides + 1
+        eh = max(0, (out_r - 1) * layer.strides + layer.size
+                 - 2 * layer.border - H)
+        ew = max(0, (out_c - 1) * layer.strides + layer.size
+                 - 2 * layer.border - W)
+        pad = [(0, 0), (layer.border, layer.border + eh),
+               (layer.border, layer.border + ew), (0, 0)]
+        dims = (1, layer.size, layer.size, 1)
+        strides = (1, layer.strides, layer.strides, 1)
+        if layer.type == MAX_POOL:
+            return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, dims,
+                                         strides, pad)
         ones = jnp.ones(x.shape[1:3] + (1,), x.dtype)[None]
-        s = jax.lax.reduce_window(
-            x, 0.0, jax.lax.add,
-            (1, layer.size, layer.size, 1), (1, layer.strides, layer.strides, 1),
-            [(0, 0), (layer.border, layer.border),
-             (layer.border, layer.border), (0, 0)])
-        n = jax.lax.reduce_window(
-            ones, 0.0, jax.lax.add,
-            (1, layer.size, layer.size, 1), (1, layer.strides, layer.strides, 1),
-            [(0, 0), (layer.border, layer.border),
-             (layer.border, layer.border), (0, 0)])
+        s = jax.lax.reduce_window(x, 0.0, jax.lax.add, dims, strides, pad)
+        n = jax.lax.reduce_window(ones, 0.0, jax.lax.add, dims, strides, pad)
         return s / n
     if layer.type == LOCAL_RESPONSE_NORM:
         parts = layer.in_partition
