@@ -71,8 +71,8 @@ def main():
     try:
         # throughput: keep two images in flight so one image's host round
         # trip overlaps the next image's device compute
-        n = 12
-        depth = 3
+        n = 16
+        depth = 4
         t0 = time.perf_counter()
         from collections import deque
         pending = deque(scd.detect_async(img.array, cascade)

@@ -405,32 +405,35 @@ def _level_capacity(nwin: int) -> int:
     return int(min(nwin, max(128, nwin // 12)))
 
 
-def _get_level_fn(src_shape, rows: int, cols: int, ny: int, nx: int,
-                  is_base: bool, cascade: ScdClassifierCascade,
-                  step: int, tabs, K: int, batch: bool = False):
-    """One jitted program for one pyramid level: (optional INTER_AREA
-    resample) -> margin pad -> scd_map -> SAT -> staged cascade eval."""
-    # id(cascade) matters: the phase tables (weights/thresholds) are traced
-    # into the program as constants, so same-geometry cascades with
-    # different weights must NOT share compiled programs
-    key = (id(cascade), src_shape, rows, cols, ny, nx, is_base, step, K,
-           batch)
-    fn = _LEVEL_CACHE.get(key)
-    if fn is not None:
-        return fn
-    margin = cascade.margin
-    n_stages = cascade.n_stages
-    phase_a = tabs["phase_a"]
+def _tiled_phase_b(cascade: ScdClassifierCascade, tabs, step: int):
+    """phase_b with its corner matrix remapped onto the per-window tile
+    layout (see _tile_selector). Depends only on (cascade, step), so it is
+    cached on the tables dict — the remap builds a ~100 MB numpy matrix."""
     phase_b = tabs["phase_b"]
-    if phase_b is not None:
-        # remap phase B's corner matrix onto the per-window tile layout
-        # (see _tile_selector); tile bounds come from the union of offsets
+    if phase_b is None:
+        return None
+    cached = tabs.get(("tiled_b", step))
+    if cached is None:
+        phase_a = tabs["phase_a"]
         all_off = np.concatenate([phase_a["offsets"], phase_b["offsets"]])
         th = int(all_off[:, 0].max()) // step + 1
         tw = int(all_off[:, 1].max()) // step + 1
-        phase_b = dict(phase_b)
-        phase_b["M"] = jnp.asarray(_tile_selector(
+        cached = dict(phase_b)
+        cached["M"] = jnp.asarray(_tile_selector(
             phase_b["offsets"], th, tw, step, np.asarray(phase_b["M"])))
+        tabs[("tiled_b", step)] = cached
+    return cached
+
+
+def _make_level_body(src_shape, rows: int, cols: int, ny: int, nx: int,
+                     is_base: bool, cascade: ScdClassifierCascade,
+                     step: int, tabs, K: int):
+    """Traceable body for one pyramid level: (optional INTER_AREA resample)
+    -> margin pad -> scd_map -> SAT -> staged cascade eval."""
+    margin = cascade.margin
+    n_stages = cascade.n_stages
+    phase_a = tabs["phase_a"]
+    phase_b = _tiled_phase_b(cascade, tabs, step)
 
     def level(src, last_count):
         image = src if is_base else resample.resample(
@@ -445,7 +448,61 @@ def _get_level_fn(src_shape, rows: int, cols: int, ny: int, nx: int,
         return _eval_level(sat8, phase_a, phase_b, last_count, n_stages,
                            ny=ny, nx=nx, step=step, K=K)
 
+    return level
+
+
+def _get_level_fn(src_shape, rows: int, cols: int, ny: int, nx: int,
+                  is_base: bool, cascade: ScdClassifierCascade,
+                  step: int, tabs, K: int, batch: bool = False):
+    # id(cascade) matters: the phase tables (weights/thresholds) are traced
+    # into the program as constants, so same-geometry cascades with
+    # different weights must NOT share compiled programs
+    key = (id(cascade), src_shape, rows, cols, ny, nx, is_base, step, K,
+           batch)
+    fn = _LEVEL_CACHE.get(key)
+    if fn is not None:
+        return fn
+    level = _make_level_body(src_shape, rows, cols, ny, nx, is_base,
+                             cascade, step, tabs, K)
     fn = jax.jit(jax.vmap(level, in_axes=(0, None)) if batch else level)
+    _LEVEL_CACHE[key] = fn
+    return fn
+
+
+def _get_octave_fn(src_shape, lspecs, cascade: ScdClassifierCascade,
+                   step: int, tabs, has_next: bool):
+    """ONE jitted program for a whole octave: every level of the octave
+    (sharing the octave source) + the sample_down to the next octave, with
+    the levels' outputs packed into a single rows array. Each program
+    dispatch costs ~0.5 ms over the device tunnel, so 19 level + 3 pyramid
+    dispatches per image fused down to one per octave is ~10 ms/image.
+    (Round 1 fused the ENTIRE pyramid into one program and hit a 17.5 MB
+    MLIR module that killed the compiler; one octave stays small.)"""
+    key = (id(cascade), src_shape, tuple(lspecs), step, has_next)
+    fn = _LEVEL_CACHE.get(key)
+    if fn is not None:
+        return fn
+    bodies = [
+        _make_level_body(src_shape, rows, cols, ny, nx, k == 0, cascade,
+                         step, tabs, K=_level_capacity(ny * nx))
+        for (k, rows, cols, ny, nx) in lspecs
+    ]
+
+    def octave(src, last_count):
+        rows_all, counts = [], []
+        for body in bodies:
+            idx, passed, conf, count = body(src, last_count)
+            rows_all.append(jnp.stack([idx.astype(jnp.float32),
+                                       passed.astype(jnp.float32),
+                                       conf.astype(jnp.float32)], axis=1))
+            counts.append(count.astype(jnp.float32))
+        packed = jnp.concatenate(rows_all, axis=0)
+        cnts = jnp.stack(counts)
+        nxt = resample.sample_down(src) if has_next else jnp.zeros(
+            (), jnp.float32)
+        return packed, cnts, nxt
+
+    fn = jax.jit(octave)
     _LEVEL_CACHE[key] = fn
     return fn
 
@@ -475,24 +532,74 @@ def detect_async(img, cascade: ScdClassifierCascade,
     specs, scale_upto = _level_specs(H, W, cascade, params)
     step = params.step_through
     tabs = _cascade_tables(cascade)
-    pyr = [jnp.asarray(a)]
-    for _ in range(1, scale_upto):
-        pyr.append(_sample_down_jit(pyr[-1]))
-    outs = []
+    # one fused program per octave (all its levels + the next sample_down),
+    # then one pack program -> the host fetches a SINGLE buffer per image
+    # (every extra fetched buffer costs ~1-3 ms over the device tunnel)
+    by_octave: dict = {}
     for (octave, k, rows, cols, ny, nx, scale) in specs:
-        src = pyr[octave]
-        fn = _get_level_fn(tuple(src.shape), rows, cols, ny, nx, k == 0,
-                           cascade, step, tabs, K=_level_capacity(ny * nx))
-        outs.append(fn(src, tabs["last_count"]))
-    return (outs, specs, pyr, up_ratio, eff_w, eff_h, step, cascade, tabs,
-            params)
+        by_octave.setdefault(octave, []).append((k, rows, cols, ny, nx))
+    pyr = [jnp.asarray(a)]
+    pieces = []
+    src = pyr[0]
+    for octave in range(scale_upto):
+        lspecs = by_octave.get(octave, [])
+        has_next = octave < scale_upto - 1
+        if not lspecs:
+            if has_next:
+                src = _sample_down_jit(src)
+                pyr.append(src)
+            continue
+        fn = _get_octave_fn(tuple(src.shape), lspecs, cascade, step, tabs,
+                            has_next)
+        packed, cnts, nxt = fn(src, tabs["last_count"])
+        pieces.append((packed, cnts))
+        if has_next:
+            src = nxt
+            pyr.append(src)
+    lens = tuple(_level_capacity(ny * nx) if tabs["phase_b"] is not None
+                 else ny * nx
+                 for (octave, k, rows, cols, ny, nx, scale) in specs)
+    shapes = tuple(int(p.shape[0]) for p, c in pieces)
+    packed = _get_pack_fn(shapes)(tuple(x for pc in pieces for x in pc))
+    return (packed, lens, specs, pyr, up_ratio, eff_w, eff_h, step, cascade,
+            tabs, params)
+
+
+_PACK_CACHE: dict = {}
+
+
+def _get_pack_fn(shapes):
+    """Jitted packer: the per-octave (rows (Ko, 3), counts (Lo,)) pairs ->
+    one (sum(Ko) + L, 3) float32 array with all counts appended as trailing
+    rows (idx/count values stay exact in f32: they are < 2^24)."""
+    fn = _PACK_CACHE.get(shapes)
+    if fn is not None:
+        return fn
+
+    def pack(flat):
+        rows = [flat[2 * i] for i in range(len(flat) // 2)]
+        cnts = jnp.concatenate([flat[2 * i + 1]
+                                for i in range(len(flat) // 2)])
+        z = jnp.zeros_like(cnts)
+        return jnp.concatenate(rows + [jnp.stack([cnts, z, z], axis=1)],
+                               axis=0)
+
+    fn = jax.jit(pack)
+    _PACK_CACHE[shapes] = fn
+    return fn
 
 
 def detect_collect(handle) -> List[Comp]:
     """Wait for a detect_async dispatch and run the host-edge grouping."""
-    (outs, specs, pyr, up_ratio, eff_w, eff_h, step, cascade, tabs,
+    (packed, lens, specs, pyr, up_ratio, eff_w, eff_h, step, cascade, tabs,
      params) = handle
-    outs = jax.device_get(outs)
+    arr = np.asarray(packed)  # the ONE host<->device round trip
+    counts = arr[sum(lens):, 0]
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    outs = [(arr[offs[i]:offs[i + 1], 0].astype(np.int32),
+             arr[offs[i]:offs[i + 1], 1] != 0.0,
+             arr[offs[i]:offs[i + 1], 2],
+             counts[i]) for i in range(len(lens))]
     comps: List[Comp] = []
     for spec, (idx, passed, conf, count) in zip(specs, outs):
         (octave, k, rows, cols, ny, nx, scale) = spec
