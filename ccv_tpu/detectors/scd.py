@@ -209,6 +209,7 @@ def _phase_tables(cascade: ScdClassifierCascade, feats: np.ndarray):
 
 
 _EARLY_FEATS = 16  # stages up to this cumulative feature count gate phase A
+_MID_FEATS = 64    # next stage block (phase B1) feature budget
 
 
 def _phase_planes(sat8, ny: int, nx: int, max_oy: int, max_ox: int,
@@ -286,52 +287,66 @@ def _surf_from_D(D, phase):
     return v, passed
 
 
-def _eval_level(sat8, phase_a, phase_b, last_count, n_stages: int,
-                ny: int, nx: int, step: int, K: int):
-    """Evaluate one pyramid level as a two-phase staged cascade.
+def _eval_level(sat8, phase_a, phase_b1, phase_b2, all_off, last_count,
+                n_stages: int, ny: int, nx: int, step: int, K1: int,
+                K2: int):
+    """Evaluate one pyramid level as a STAGED cascade (up to three phases).
 
     The reference's per-window early exit (ccv_scd.c:1719-1768) becomes:
     phase A evaluates the first few stages for EVERY window (dense, tiny);
-    the survivors are compacted to a fixed-capacity index buffer
-    (jnp.nonzero(size=K)) and phase B evaluates the remaining ~95% of the
-    features only on those — the dense-tensor answer to data-dependent
-    control flow, with ~20x fewer FLOPs than all-features-everywhere.
+    survivors are compacted to a fixed-capacity index buffer
+    (jnp.nonzero(size=K1)) and phase B1 (the next stage block) runs only on
+    those; its survivors compact again (K2, ~1% of windows measured) and
+    phase B2 — the ~80% of all features — runs on that second compaction.
+    This is the dense-tensor answer to data-dependent control flow.
 
-    Returns (idx (K,), passed (K,), conf (K,), n_survivors_A ()).
+    Returns (idx, passed, conf, counts (2,)) where counts = survivors of
+    phase A and of phase B1 (for the host-side overflow fallback).
     """
-    all_off = np.concatenate([phase_a["offsets"], phase_b["offsets"]]) \
-        if phase_b is not None else phase_a["offsets"]
     planes, th, tw = _phase_planes(sat8, ny, nx, int(all_off[:, 0].max()),
                                    int(all_off[:, 1].max()), step)
     # phase A covers the full window grid -> dense unit-stride plane slices
     D_a = _grid_corner_slices(planes, phase_a["offsets"], ny, nx, step)
     v_a, pass_a = _surf_from_D(D_a, phase_a)
-    if phase_b is None:
+    zero = jnp.zeros((), jnp.int32)
+    if phase_b1 is None:
         # tiny cascade: single phase, "compaction" is just the pass mask
         conf = v_a[:, -1] / last_count + (n_stages - 1)
         idx = jnp.arange(ny * nx, dtype=jnp.int32)
-        return idx, pass_a, conf, jnp.sum(pass_a)
-    idx = jnp.nonzero(pass_a, size=K, fill_value=0)[0].astype(jnp.int32)
-    count = jnp.sum(pass_a)
-    # phase B: per-survivor contiguous tile extract + one matmul against
+        return idx, pass_a, conf, jnp.stack(
+            [jnp.sum(pass_a, dtype=jnp.int32), zero])
+    idx1 = jnp.nonzero(pass_a, size=K1, fill_value=0)[0].astype(jnp.int32)
+    count_a = jnp.sum(pass_a, dtype=jnp.int32)
+    # phase B1: per-survivor contiguous tile extract + one matmul against
     # the tile-remapped corner matrix (a row gather of 8-float corners runs
     # ~6 GB/s on TPU; contiguous (step,step,th,tw,8) block reads don't)
-    wyx = jnp.stack([idx // nx, idx % nx], axis=1)
+    wyx = jnp.stack([idx1 // nx, idx1 % nx], axis=1)
     pl = planes.transpose(2, 3, 0, 1, 4)  # (Hs, Ws, step, step, 8)
 
     def tile_of(pos):
         return jax.lax.dynamic_slice(
             pl, (pos[0], pos[1], 0, 0, 0), (th, tw, step, step, 8))
 
-    tiles = jax.vmap(tile_of)(wyx)  # (K, th, tw, step, step, 8)
+    tiles = jax.vmap(tile_of)(wyx)  # (K1, th, tw, step, step, 8)
     # reorder to the M2 column layout (py, px, ty, tx)
-    tiles = tiles.transpose(0, 3, 4, 1, 2, 5).reshape(K, -1, 8)
-    v_b, pass_b = _surf_from_D(tiles, phase_b)
+    tiles = tiles.transpose(0, 3, 4, 1, 2, 5).reshape(K1, -1, 8)
+    v_b1, pass_b1 = _surf_from_D(tiles, phase_b1)
     # mask padding slots (fill_value=0 would duplicate window 0 if it passed)
-    valid = jnp.arange(K) < jnp.minimum(count, K)
-    passed = pass_b & pass_a[idx] & valid
-    conf = v_b[:, -1] / last_count + (n_stages - 1)
-    return idx, passed, conf, count
+    valid1 = (jnp.arange(K1) < jnp.minimum(count_a, K1)) & pass_a[idx1]
+    alive1 = pass_b1 & valid1
+    if phase_b2 is None:
+        conf = v_b1[:, -1] / last_count + (n_stages - 1)
+        return idx1, alive1, conf, jnp.stack([count_a, zero])
+    count_b1 = jnp.sum(alive1, dtype=jnp.int32)
+    # phase B2: row-compact the ALREADY-GATHERED tiles (contiguous row
+    # take) — no second spatial gather — and run the big feature block
+    r2 = jnp.nonzero(alive1, size=K2, fill_value=0)[0].astype(jnp.int32)
+    tiles2 = tiles[r2]
+    v_b2, pass_b2 = _surf_from_D(tiles2, phase_b2)
+    valid2 = (jnp.arange(K2) < jnp.minimum(count_b1, K2)) & alive1[r2]
+    passed = pass_b2 & valid2
+    conf = v_b2[:, -1] / last_count + (n_stages - 1)
+    return idx1[r2], passed, conf, jnp.stack([count_a, count_b1])
 
 
 def _level_specs(H: int, W: int, cascade: ScdClassifierCascade,
@@ -387,53 +402,77 @@ def _cascade_tables(cascade: ScdClassifierCascade):
             cum += counts[split]
             split += 1
         split = max(1, split)
+        # phase B1 = the next stage block up to _MID_FEATS more features;
+        # phase B2 = the rest (most of the cascade, run on ~1% of windows)
+        split2 = split
+        cum2 = 0
+        while (split2 < len(counts)
+               and cum2 + counts[split2] <= _MID_FEATS):
+            cum2 += counts[split2]
+            split2 += 1
+        split2 = max(split + 1, split2)
         feats_a = np.nonzero(cascade.stage_of < split)[0]
-        feats_b = np.nonzero(cascade.stage_of >= split)[0]
+        feats_b1 = np.nonzero((cascade.stage_of >= split)
+                              & (cascade.stage_of < split2))[0]
+        feats_b2 = np.nonzero(cascade.stage_of >= split2)[0]
         tabs = dict(
             phase_a=_phase_tables(cascade, feats_a),
-            phase_b=_phase_tables(cascade, feats_b) if len(feats_b) else None,
+            phase_b1=(_phase_tables(cascade, feats_b1)
+                      if len(feats_b1) else None),
+            phase_b2=(_phase_tables(cascade, feats_b2)
+                      if len(feats_b2) else None),
             last_count=float(cascade.stage_counts[-1]))
+        # tile bounds are shared by every phase (one plane set per level)
+        offs = [tabs[p]["offsets"] for p in ("phase_a", "phase_b1",
+                                             "phase_b2") if tabs[p]]
+        tabs["all_off"] = np.concatenate(offs)
         object.__setattr__(cascade, "_tables", tabs)
     return tabs
 
 
 def _level_capacity(nwin: int) -> int:
-    """Fixed phase-B buffer size: ~1.5x the worst observed phase-A survivor
-    rate (~4.5% on street.png); detect() falls back to K=nwin on (rare)
-    overflow. The phase-B gather cost is linear in K, so headroom is paid
-    on every call."""
-    return int(min(nwin, max(128, nwin // 12)))
+    """Fixed phase-B1 buffer size: ~1.3x the worst observed phase-A
+    survivor rate (5.4% across the reference samples); detect() falls back
+    to K=nwin on (rare) overflow. The tile-gather cost is linear in K, so
+    headroom is paid on every call."""
+    return int(min(nwin, max(128, nwin // 14)))
 
 
-def _tiled_phase_b(cascade: ScdClassifierCascade, tabs, step: int):
-    """phase_b with its corner matrix remapped onto the per-window tile
+def _level_capacity2(nwin: int) -> int:
+    """Phase-B2 buffer size: ~2x the worst observed post-B1 survivor rate
+    (~1.0%)."""
+    return int(min(_level_capacity(nwin), max(64, nwin // 48)))
+
+
+def _tiled_phase(tabs, name: str, step: int):
+    """tabs[name] with its corner matrix remapped onto the per-window tile
     layout (see _tile_selector). Depends only on (cascade, step), so it is
     cached on the tables dict — the remap builds a ~100 MB numpy matrix."""
-    phase_b = tabs["phase_b"]
-    if phase_b is None:
+    phase = tabs[name]
+    if phase is None:
         return None
-    cached = tabs.get(("tiled_b", step))
+    cached = tabs.get(("tiled", name, step))
     if cached is None:
-        phase_a = tabs["phase_a"]
-        all_off = np.concatenate([phase_a["offsets"], phase_b["offsets"]])
+        all_off = tabs["all_off"]
         th = int(all_off[:, 0].max()) // step + 1
         tw = int(all_off[:, 1].max()) // step + 1
-        cached = dict(phase_b)
+        cached = dict(phase)
         cached["M"] = jnp.asarray(_tile_selector(
-            phase_b["offsets"], th, tw, step, np.asarray(phase_b["M"])))
-        tabs[("tiled_b", step)] = cached
+            phase["offsets"], th, tw, step, np.asarray(phase["M"])))
+        tabs[("tiled", name, step)] = cached
     return cached
 
 
 def _make_level_body(src_shape, rows: int, cols: int, ny: int, nx: int,
                      is_base: bool, cascade: ScdClassifierCascade,
-                     step: int, tabs, K: int):
+                     step: int, tabs, K1: int, K2: int):
     """Traceable body for one pyramid level: (optional INTER_AREA resample)
     -> margin pad -> scd_map -> SAT -> staged cascade eval."""
     margin = cascade.margin
     n_stages = cascade.n_stages
     phase_a = tabs["phase_a"]
-    phase_b = _tiled_phase_b(cascade, tabs, step)
+    phase_b1 = _tiled_phase(tabs, "phase_b1", step)
+    phase_b2 = _tiled_phase(tabs, "phase_b2", step)
 
     def level(src, last_count):
         image = src if is_base else resample.resample(
@@ -445,25 +484,35 @@ def _make_level_body(src_shape, rows: int, cols: int, ny: int, nx: int,
         smap = scd_map(image)
         sat = algebra.sat(smap, padding=algebra.PADDING_ZERO)
         sat8 = sat[..., :8].astype(jnp.float32)
-        return _eval_level(sat8, phase_a, phase_b, last_count, n_stages,
-                           ny=ny, nx=nx, step=step, K=K)
+        return _eval_level(sat8, phase_a, phase_b1, phase_b2,
+                           tabs["all_off"], last_count, n_stages,
+                           ny=ny, nx=nx, step=step, K1=K1, K2=K2)
 
     return level
 
 
+def _out_len(tabs, nwin: int, K1: int, K2: int) -> int:
+    """Length of a level program's output arrays."""
+    if tabs["phase_b1"] is None:
+        return nwin
+    if tabs["phase_b2"] is None:
+        return K1
+    return K2
+
+
 def _get_level_fn(src_shape, rows: int, cols: int, ny: int, nx: int,
                   is_base: bool, cascade: ScdClassifierCascade,
-                  step: int, tabs, K: int, batch: bool = False):
+                  step: int, tabs, K1: int, K2: int, batch: bool = False):
     # id(cascade) matters: the phase tables (weights/thresholds) are traced
     # into the program as constants, so same-geometry cascades with
     # different weights must NOT share compiled programs
-    key = (id(cascade), src_shape, rows, cols, ny, nx, is_base, step, K,
-           batch)
+    key = (id(cascade), src_shape, rows, cols, ny, nx, is_base, step, K1,
+           K2, batch)
     fn = _LEVEL_CACHE.get(key)
     if fn is not None:
         return fn
     level = _make_level_body(src_shape, rows, cols, ny, nx, is_base,
-                             cascade, step, tabs, K)
+                             cascade, step, tabs, K1, K2)
     fn = jax.jit(jax.vmap(level, in_axes=(0, None)) if batch else level)
     _LEVEL_CACHE[key] = fn
     return fn
@@ -484,20 +533,21 @@ def _get_octave_fn(src_shape, lspecs, cascade: ScdClassifierCascade,
         return fn
     bodies = [
         _make_level_body(src_shape, rows, cols, ny, nx, k == 0, cascade,
-                         step, tabs, K=_level_capacity(ny * nx))
+                         step, tabs, K1=_level_capacity(ny * nx),
+                         K2=_level_capacity2(ny * nx))
         for (k, rows, cols, ny, nx) in lspecs
     ]
 
     def octave(src, last_count):
         rows_all, counts = [], []
         for body in bodies:
-            idx, passed, conf, count = body(src, last_count)
+            idx, passed, conf, count2 = body(src, last_count)
             rows_all.append(jnp.stack([idx.astype(jnp.float32),
                                        passed.astype(jnp.float32),
                                        conf.astype(jnp.float32)], axis=1))
-            counts.append(count.astype(jnp.float32))
+            counts.append(count2.astype(jnp.float32))
         packed = jnp.concatenate(rows_all, axis=0)
-        cnts = jnp.stack(counts)
+        cnts = jnp.stack(counts)  # (L, 2)
         nxt = resample.sample_down(src) if has_next else jnp.zeros(
             (), jnp.float32)
         return packed, cnts, nxt
@@ -556,8 +606,8 @@ def detect_async(img, cascade: ScdClassifierCascade,
         if has_next:
             src = nxt
             pyr.append(src)
-    lens = tuple(_level_capacity(ny * nx) if tabs["phase_b"] is not None
-                 else ny * nx
+    lens = tuple(_out_len(tabs, ny * nx, _level_capacity(ny * nx),
+                          _level_capacity2(ny * nx))
                  for (octave, k, rows, cols, ny, nx, scale) in specs)
     shapes = tuple(int(p.shape[0]) for p, c in pieces)
     packed = _get_pack_fn(shapes)(tuple(x for pc in pieces for x in pc))
@@ -569,9 +619,9 @@ _PACK_CACHE: dict = {}
 
 
 def _get_pack_fn(shapes):
-    """Jitted packer: the per-octave (rows (Ko, 3), counts (Lo,)) pairs ->
-    one (sum(Ko) + L, 3) float32 array with all counts appended as trailing
-    rows (idx/count values stay exact in f32: they are < 2^24)."""
+    """Jitted packer: the per-octave (rows (Ko, 3), counts (Lo, 2)) pairs
+    -> one (sum(Ko) + L, 3) float32 array with the count pairs appended as
+    trailing rows (idx/count values stay exact in f32: < 2^24)."""
     fn = _PACK_CACHE.get(shapes)
     if fn is not None:
         return fn
@@ -579,9 +629,9 @@ def _get_pack_fn(shapes):
     def pack(flat):
         rows = [flat[2 * i] for i in range(len(flat) // 2)]
         cnts = jnp.concatenate([flat[2 * i + 1]
-                                for i in range(len(flat) // 2)])
-        z = jnp.zeros_like(cnts)
-        return jnp.concatenate(rows + [jnp.stack([cnts, z, z], axis=1)],
+                                for i in range(len(flat) // 2)])  # (L, 2)
+        z = jnp.zeros((cnts.shape[0], 1), cnts.dtype)
+        return jnp.concatenate(rows + [jnp.concatenate([cnts, z], axis=1)],
                                axis=0)
 
     fn = jax.jit(pack)
@@ -594,22 +644,23 @@ def detect_collect(handle) -> List[Comp]:
     (packed, lens, specs, pyr, up_ratio, eff_w, eff_h, step, cascade, tabs,
      params) = handle
     arr = np.asarray(packed)  # the ONE host<->device round trip
-    counts = arr[sum(lens):, 0]
+    counts = arr[sum(lens):, :2]
     offs = np.concatenate([[0], np.cumsum(lens)])
     outs = [(arr[offs[i]:offs[i + 1], 0].astype(np.int32),
              arr[offs[i]:offs[i + 1], 1] != 0.0,
              arr[offs[i]:offs[i + 1], 2],
              counts[i]) for i in range(len(lens))]
     comps: List[Comp] = []
-    for spec, (idx, passed, conf, count) in zip(specs, outs):
+    for spec, (idx, passed, conf, count2) in zip(specs, outs):
         (octave, k, rows, cols, ny, nx, scale) = spec
-        K = _level_capacity(ny * nx)
-        if int(count) > K:
-            # phase-A survivor overflow (rare): rerun with full capacity
+        K1 = _level_capacity(ny * nx)
+        K2 = _level_capacity2(ny * nx)
+        if int(count2[0]) > K1 or int(count2[1]) > K2:
+            # compaction overflow (rare): rerun this level at full capacity
             src = pyr[octave]
             fn = _get_level_fn(tuple(src.shape), rows, cols, ny, nx, k == 0,
-                               cascade, step, tabs, K=ny * nx)
-            idx, passed, conf, count = jax.device_get(
+                               cascade, step, tabs, K1=ny * nx, K2=ny * nx)
+            idx, passed, conf, count2 = jax.device_get(
                 fn(src, tabs["last_count"]))
         passed = np.asarray(passed)
         if not passed.any():
@@ -667,18 +718,20 @@ def detect_batch(imgs, cascade: ScdClassifierCascade,
     for (octave, k, rows, cols, ny, nx, scale) in specs:
         src = pyr[octave]
         fn = _get_level_fn(tuple(src.shape[1:]), rows, cols, ny, nx, k == 0,
-                           cascade, step, tabs, K=_level_capacity(ny * nx),
-                           batch=True)
+                           cascade, step, tabs,
+                           K1=_level_capacity(ny * nx),
+                           K2=_level_capacity2(ny * nx), batch=True)
         outs.append(fn(src, tabs["last_count"]))
     outs = jax.device_get(outs)
-    # phase-A survivor overflow (rare): rerun that level at full capacity
+    # compaction overflow (rare): rerun that level at full capacity
     for si, (spec, (idx, passed, conf, count)) in enumerate(zip(specs, outs)):
         (octave, k, rows, cols, ny, nx, scale) = spec
-        if int(np.max(count)) > _level_capacity(ny * nx):
+        if (int(np.max(count[:, 0])) > _level_capacity(ny * nx)
+                or int(np.max(count[:, 1])) > _level_capacity2(ny * nx)):
             src = pyr[octave]
             fn = _get_level_fn(tuple(src.shape[1:]), rows, cols, ny, nx,
-                               k == 0, cascade, step, tabs, K=ny * nx,
-                               batch=True)
+                               k == 0, cascade, step, tabs, K1=ny * nx,
+                               K2=ny * nx, batch=True)
             outs[si] = jax.device_get(fn(src, tabs["last_count"]))
     results: List[List[Comp]] = []
     for b in range(B):
