@@ -115,3 +115,33 @@ def compressed_apply(apply_fn, shape, dtype, training: bool):
 
     wrapped.defvjp(fwd, bwd)
     return wrapped
+
+
+def reduced_apply(apply_fn, dtype, training: bool):
+    """Memory reduction twin (ccv_nnc_symbolic_graph_memory_reduction,
+    lib/nnc/ccv_nnc_symbolic_graph_memory_reduction.c): where the reference
+    finds tensors that were up-converted to a larger datatype and kept
+    alive for the backward pass, it keeps the smaller one and re-converts
+    just before backward. Here the saved-for-backward activation is stored
+    as bfloat16 and re-converted to `dtype` inside the VJP; the forward
+    output stays exact."""
+
+    @jax.custom_vjp
+    def wrapped(params, state, x, key):
+        return apply_fn(params, state, x, training, key)
+
+    def fwd(params, state, x, key):
+        y = apply_fn(params, state, x, training, key)
+        return y, (params, state, x.astype(jnp.bfloat16), key)
+
+    def bwd(res, g):
+        params, state, x16, key = res
+        x = x16.astype(dtype)
+        _, vjp = jax.vjp(
+            lambda p, s, v: apply_fn(p, s, v, training, key),
+            params, state, x)
+        dp, ds, dx = vjp(g)
+        return dp, ds, dx, None
+
+    wrapped.defvjp(fwd, bwd)
+    return wrapped

@@ -65,6 +65,7 @@ class Sequential:
         self._mesh = None
         self.checkpointing = False
         self.memory_compression = False
+        self.memory_reduction = False
         self._fit_fn = None
         self._eval_fn = None
         self._grad_fn = None
@@ -104,6 +105,13 @@ class Sequential:
                 from ccv_tpu.nn.compression import compressed_apply
 
                 y, ns = compressed_apply(apply, x.shape, x.dtype, training)(
+                    params[i], states[i], x, sub)
+            elif (getattr(self, "memory_reduction", False) and training
+                    and hasattr(x, "dtype")
+                    and x.dtype in (jnp.float32, jnp.float64)):
+                from ccv_tpu.nn.compression import reduced_apply
+
+                y, ns = reduced_apply(apply, x.dtype, training)(
                     params[i], states[i], x, sub)
             else:
                 y, ns = apply(params[i], states[i], x, training, sub)
@@ -163,6 +171,15 @@ class Sequential:
         4-D activations saved for backward are LSSC-compressed (4:1,
         lossy) — see ccv_tpu.nn.compression."""
         self.memory_compression = enable
+        if self.opt is not None:
+            self._make_programs()
+
+    def set_memory_reduction(self, enable: bool = True):
+        """ccv_cnnp_model_set_memory_reduction twin (ccv_nnc.h:3931 /
+        ccv_nnc_symbolic_graph_memory_reduction.c): float32 activations
+        saved for backward are stored as bfloat16 and re-converted inside
+        the VJP (half the activation HBM; forward outputs stay exact)."""
+        self.memory_reduction = enable
         if self.opt is not None:
             self._make_programs()
 

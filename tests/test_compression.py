@@ -58,3 +58,48 @@ def test_training_with_compression_converges():
     Y = rng.integers(0, 4, (4,))
     losses = [m.fit(X, Y) for _ in range(40)]
     assert losses[-1] < losses[0] * 0.5, losses[::10]
+
+
+def test_training_with_memory_reduction_converges():
+    from ccv_tpu.nn import layers as L, optimizers
+    from ccv_tpu.nn.model import Sequential
+
+    m = Sequential([
+        L.Convolution(8, (3, 3), padding="SAME", name="c1"), L.ReLU(),
+        L.Flatten(), L.Dense(4, name="fc")])
+    m.build((4, 8, 8, 2))
+    m.set_memory_reduction(True)
+    m.compile(optimizers.adam(rate=1e-2), "softmax_crossentropy")
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((4, 8, 8, 2), np.float32)
+    Y = rng.integers(0, 4, (4,))
+    losses = [m.fit(X, Y) for _ in range(40)]
+    assert losses[-1] < losses[0] * 0.5, losses[::10]
+
+
+def test_memory_reduction_grads_close_to_exact():
+    import jax
+    import jax.numpy as jnp
+
+    from ccv_tpu.nn.compression import reduced_apply
+
+    def apply_fn(p, s, x, training, key):
+        return jnp.tanh(x @ p), s
+
+    rng = np.random.default_rng(1)
+    p = jnp.asarray(rng.standard_normal((16, 8), np.float32))
+    x = jnp.asarray(rng.standard_normal((4, 16), np.float32))
+
+    def loss_exact(p, x):
+        y, _ = apply_fn(p, None, x, True, None)
+        return (y ** 2).sum()
+
+    def loss_reduced(p, x):
+        y, _ = reduced_apply(apply_fn, jnp.float32, True)(p, None, x, None)
+        return (y ** 2).sum()
+
+    g1 = jax.grad(loss_exact)(p, x)
+    g2 = jax.grad(loss_reduced)(p, x)
+    # backward recomputes from a bf16-stored activation: close, not exact
+    assert float(jnp.max(jnp.abs(g1 - g2))) < 0.05
+    assert float(jnp.max(jnp.abs(g1 - g2))) > 0.0
