@@ -298,6 +298,61 @@ class Sequential:
 
         tensor_io.read_model(self, path, name or self.name)
 
+    def checkpoint(self, path: str, name: Optional[str] = None):
+        """Preemption-safe trainer checkpoint: parameters + layer states
+        (BN stats) + optimizer state + the step RNG key, one SQLite file.
+
+        Goes beyond the reference (ccv_cnnp_model_write persists only
+        parameters/internals, ccv_cnnp_model_io.c:30-60): resuming from
+        this file continues the exact training trajectory."""
+        from ccv_tpu.nn import tensor_io
+
+        name = name or self.name
+        tensor_io.write_model(self, path, name)
+        conn = tensor_io.open_db(path)
+        try:
+            for tag, tree in (("opt", self.opt_state),
+                              ("lstate", self.state)):
+                leaves = jax.tree_util.tree_leaves(tree)
+                for i, leaf in enumerate(leaves):
+                    tensor_io.tensor_write(
+                        conn, f"__{name}__[{tag}:{i}]", np.asarray(leaf))
+            # the PRNG key is uint32 (not a ccv dtype): store the bits
+            tensor_io.tensor_write(conn, f"__{name}__[stepkey]",
+                                   np.asarray(self._step_key)
+                                   .view(np.int32))
+            conn.commit()
+        finally:
+            conn.close()
+
+    def resume(self, path: str, name: Optional[str] = None):
+        """Restore a .checkpoint() file: the inverse, incl. optimizer
+        state, so fit() continues the exact trajectory."""
+        from ccv_tpu.nn import tensor_io
+
+        name = name or self.name
+        tensor_io.read_model(self, path, name)
+        conn = tensor_io.open_db(path)
+        try:
+            for tag, tree in (("opt", self.opt_state),
+                              ("lstate", self.state)):
+                leaves, treedef = jax.tree_util.tree_flatten(tree)
+                read = [
+                    jnp.asarray(tensor_io.tensor_read(
+                        conn, f"__{name}__[{tag}:{i}]")).astype(l.dtype)
+                    .reshape(l.shape) if hasattr(l, "dtype") else l
+                    for i, l in enumerate(leaves)]
+                restored = jax.tree_util.tree_unflatten(treedef, read)
+                if tag == "opt":
+                    self.opt_state = restored
+                else:
+                    self.state = restored
+            self._step_key = jnp.asarray(
+                tensor_io.tensor_read(conn, f"__{name}__[stepkey]")
+                .view(np.uint32))
+        finally:
+            conn.close()
+
     def dot(self) -> str:
         """ccv_cnnp_model_dot twin: a GraphViz description of the stack."""
         lines = ["digraph model {"]

@@ -57,3 +57,46 @@ def test_dot_output():
     a = g.variable(np.float32(1.0))
     g.exec(jnp.sin, a)
     assert "sin" in g.dot()
+
+
+def test_while_loop_forward_and_grad():
+    import jax
+    import jax.numpy as jnp
+
+    from ccv_tpu.nn.control_flow import while_loop
+
+    # unbounded form
+    out = while_loop(lambda c: c[0] < 10.0,
+                     lambda c: (c[0] * 2.0, c[1] + 1),
+                     (jnp.float32(1.0), jnp.int32(0)))
+    assert float(out[0]) == 16.0 and int(out[1]) == 4
+
+    # bounded (scan) form is reverse-differentiable: d/dx of x*2^4
+    def f(x):
+        out = while_loop(lambda c: c < 10.0, lambda c: c * 2.0, x,
+                         max_iter=8)
+        return out
+
+    assert float(f(jnp.float32(1.0))) == 16.0
+    assert float(jax.grad(f)(jnp.float32(1.0))) == 16.0
+
+
+def test_case_of_branches_and_grad():
+    import jax
+    import jax.numpy as jnp
+
+    from ccv_tpu.nn.control_flow import case_of
+
+    x = jnp.float32(3.0)
+    br = [lambda v: v * 2.0, lambda v: v * v, lambda v: -v]
+    assert float(case_of(1, br, x)) == 9.0
+    assert float(case_of(0, br, x)) == 6.0
+    g = jax.grad(lambda v: case_of(1, br, v))(x)
+    assert float(g) == 6.0
+
+    # jit + traced index (the case_of expression form)
+    @jax.jit
+    def pick(i, v):
+        return case_of(i, br, v)
+
+    assert float(pick(jnp.int32(2), x)) == -3.0

@@ -244,3 +244,57 @@ class TestParallel:
         s, b = f(x)
         np.testing.assert_allclose(np.asarray(s), [6.0] * 4)
         np.testing.assert_allclose(np.asarray(b), [2.0] * 4)
+
+
+def test_trainer_checkpoint_resume_exact_trajectory(tmp_path):
+    """checkpoint()/resume() persist optimizer state + RNG: resuming
+    reproduces the exact continued training trajectory (beyond the
+    reference, whose model_write keeps only parameters/internals)."""
+    import jax.numpy as jnp
+
+    from ccv_tpu.nn import layers as L, optimizers
+    from ccv_tpu.nn.model import Sequential
+
+    def make():
+        m = Sequential([L.Dense(16, name="d1"), L.ReLU(),
+                        L.BatchNorm(name="bn"), L.Dense(3, name="d2")],
+                       name="ckpt")
+        m.build((8, 6))
+        m.compile(optimizers.adam(rate=1e-2), "softmax_crossentropy")
+        return m
+
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((8, 6), np.float32)
+    Y = rng.integers(0, 3, (8,))
+    m = make()
+    for _ in range(3):
+        m.fit(X, Y)
+    p = str(tmp_path / "trainer.sqlite3")
+    m.checkpoint(p)
+    cont = [m.fit(X, Y) for _ in range(3)]
+
+    m2 = make()
+    m2.resume(p)
+    resumed = [m2.fit(X, Y) for _ in range(3)]
+    np.testing.assert_allclose(resumed, cont, rtol=1e-5)
+
+
+def test_cmd_registry_introspection():
+    """ccv_nnc_cmd registry twin: name/id resolution, dispatch, attrs."""
+    import jax.numpy as jnp
+
+    from ccv_tpu.nn import cmd as C
+
+    assert C.CMD_COUNT >= 60
+    e = C.cmd_entry("CCV_NNC_GEMM_FORWARD")
+    assert C.cmd_name(e.id) == "CCV_NNC_GEMM_FORWARD"
+    a = jnp.ones((2, 3))
+    b = jnp.ones((3, 4))
+    out = C.cmd("CCV_NNC_GEMM_FORWARD")(a, b)
+    assert out.shape == (2, 4)
+    assert C.cmd_ok("CCV_NNC_RELU_FORWARD")
+    assert not C.cmd_ok("CCV_NNC_NOT_A_CMD")
+    assert C.cmd_attr("CCV_NNC_NOOP_FORWARD", C.CMD_ATTR_PASSTHROUGH)
+    assert not C.cmd_attr("CCV_NNC_RELU_FORWARD", C.CMD_ATTR_PASSTHROUGH)
+    names = {e.name for e in C.commands()}
+    assert "CCV_NNC_SCALED_DOT_PRODUCT_ATTENTION_FORWARD" in names
