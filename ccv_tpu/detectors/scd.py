@@ -315,7 +315,11 @@ def _eval_level(sat8, phase_a, phase_b1, phase_b2, all_off, last_count,
         idx = jnp.arange(ny * nx, dtype=jnp.int32)
         return idx, pass_a, conf, jnp.stack(
             [jnp.sum(pass_a, dtype=jnp.int32), zero])
-    idx1 = jnp.nonzero(pass_a, size=K1, fill_value=0)[0].astype(jnp.int32)
+    # compaction via stable argsort (passed-first, ascending index), NOT
+    # jnp.nonzero: nonzero lowers to a scatter = sequential K-iteration
+    # dynamic-update-slice loop on TPU (profiled at ~5-10 ms/level); sort
+    # of ~14k lanes is a parallel library kernel
+    idx1 = jnp.argsort(~pass_a, stable=True)[:K1].astype(jnp.int32)
     count_a = jnp.sum(pass_a, dtype=jnp.int32)
     # phase B1: per-survivor contiguous tile extract + one matmul against
     # the tile-remapped corner matrix (a row gather of 8-float corners runs
@@ -340,7 +344,7 @@ def _eval_level(sat8, phase_a, phase_b1, phase_b2, all_off, last_count,
     count_b1 = jnp.sum(alive1, dtype=jnp.int32)
     # phase B2: row-compact the ALREADY-GATHERED tiles (contiguous row
     # take) — no second spatial gather — and run the big feature block
-    r2 = jnp.nonzero(alive1, size=K2, fill_value=0)[0].astype(jnp.int32)
+    r2 = jnp.argsort(~alive1, stable=True)[:K2].astype(jnp.int32)
     tiles2 = tiles[r2]
     v_b2, pass_b2 = _surf_from_D(tiles2, phase_b2)
     valid2 = (jnp.arange(K2) < jnp.minimum(count_b1, K2)) & alive1[r2]
@@ -482,8 +486,10 @@ def _make_level_body(src_shape, rows: int, cols: int, ny: int, nx: int,
             pads = [(margin[1], margin[3]), (margin[0], margin[2]), (0, 0)]
             image = jnp.pad(image, pads)
         smap = scd_map(image)
-        sat = algebra.sat(smap, padding=algebra.PADDING_ZERO)
-        sat8 = sat[..., :8].astype(jnp.float32)
+        # sat_mxu: the scan-based SAT lowers to a serial row-loop on TPU
+        # (~2-3 ms/level); the triangular-matmul form is one MXU pass
+        sat8 = algebra.sat_mxu(smap[..., :8],
+                               padding=algebra.PADDING_ZERO)
         return _eval_level(sat8, phase_a, phase_b1, phase_b2,
                            tabs["all_off"], last_count, n_stages,
                            ny=ny, nx=nx, step=step, K1=K1, K2=K2)

@@ -62,3 +62,24 @@ def test_tld_relocates_after_occlusion(frames):
     box, conf = t.track_object(blank, seq[0])
     assert box is not None, "failed to relocate"
     assert iou(box, BOX0) > 0.4, (box, BOX0)
+
+
+def test_tld_tracks_shift_small_frames():
+    """Default-tier TLD gate: same rigid-shift tracking on a cropped
+    window so it runs in seconds (the full-frame variants are --slow)."""
+    from ccv_tpu.core.io import read, IO_GRAY
+    from ccv_tpu.detectors import tld
+
+    img = np.asarray(read("/root/reference/samples/street.png",
+                          IO_GRAY).numpy())[100:280, 380:560]
+    box0 = (50, 40, 48, 90)
+    shifts = [(0, 0), (3, 2), (6, 4)]
+    H, W = img.shape[0] - 8, img.shape[1] - 8
+    seq = [img[dy:dy + H, dx:dx + W] for dx, dy in shifts]
+    t = tld.Tld(seq[0], box0, seed=7)
+    for i in range(1, len(seq)):
+        box, conf = t.track_object(seq[i - 1], seq[i])
+        assert box is not None, f"lost at frame {i}"
+        dx, dy = shifts[i]
+        expect = (box0[0] - dx, box0[1] - dy, box0[2], box0[3])
+        assert iou(box, expect) > 0.5, (i, box, expect)
