@@ -617,6 +617,14 @@ def detect_async(img, cascade: ScdClassifierCascade,
                  for (octave, k, rows, cols, ny, nx, scale) in specs)
     shapes = tuple(int(p.shape[0]) for p, c in pieces)
     packed = _get_pack_fn(shapes)(tuple(x for pc in pieces for x in pc))
+    try:
+        # start the device->host copy NOW: over the tunneled device a
+        # sync fetch costs a full ~33 ms RTT; issuing the copy at dispatch
+        # time lets pipelined callers overlap RTTs (measured 46 -> 36
+        # ms/image on the throughput benchmark)
+        packed.copy_to_host_async()
+    except AttributeError:
+        pass
     return (packed, lens, specs, pyr, up_ratio, eff_w, eff_h, step, cascade,
             tabs, params)
 
