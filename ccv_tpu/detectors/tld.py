@@ -289,26 +289,49 @@ class Tld:
         return var - mean * mean
 
     def _batch_ferns_features(self, ga: np.ndarray, boxes) -> np.ndarray:
-        """ferns features for every box at once: per scale, one fancy-index
-        gather of all (box x struct x feature x 2) comparison pixels."""
+        """ferns features for every box at once: per scale, one flat
+        linear-index gather of all (box x struct x feature x 2) comparison
+        pixels.
+
+        Everything stays 1-D/2-D with a large inner dimension: numpy 2.0's
+        ufunc loop on 4-D arrays whose inner dim is 2 runs ~200x slower
+        than on flat views (profiled: 15 s for one clip of an
+        11220x40x18x2 int32 here). The border clamp is an edge-replicate
+        pad of the frame instead of np.clip on the index tensors —
+        identical semantics since box origins and fern points are >= 0."""
         n = len(boxes)
         out = np.zeros((n, self.ferns.structs), np.uint32)
         if n == 0:
             return out
         b = np.asarray(boxes, np.int32)
         weights = (1 << np.arange(self.ferns.features - 1, -1, -1)).astype(
-            np.uint32)
+            np.float32)
+        pts_all = self.ferns.points
+        pad_y = int(pts_all[..., 1].max())
+        pad_x = int(pts_all[..., 0].max())
+        gap = np.pad(ga, ((0, pad_y), (0, pad_x)), mode="edge")
+        flat = gap.reshape(-1)
+        Wp = np.int32(gap.shape[1])
         for s in range(self.ferns.scales):
             sel = np.nonzero(b[:, 4] == s)[0]
             if len(sel) == 0:
                 continue
-            pts = self.ferns.points[s]  # (structs, features, 2, (x, y))
-            xs = b[sel, 0][:, None, None, None] + pts[None, ..., 0]
-            ys = b[sel, 1][:, None, None, None] + pts[None, ..., 1]
-            vals = ga[np.clip(ys, 0, ga.shape[0] - 1),
-                      np.clip(xs, 0, ga.shape[1] - 1)]
-            bits = (vals[..., 0] > vals[..., 1]).astype(np.uint32)
-            out[sel] = (bits * weights).sum(-1).astype(np.uint32)
+            pts = pts_all[s]  # (structs, features, 2, (x, y))
+            # (structs*features,) linear offsets of each comparison pair;
+            # tile/repeat + contiguous 1-D adds: this numpy's ufunc SIMD
+            # path only engages on contiguous same-shape 1-D operands
+            # (broadcast/strided forms profiled 10-200x slower)
+            pl = pts[..., 1].astype(np.int32) * Wp + pts[..., 0]
+            pl0 = np.ascontiguousarray(pl[:, :, 0]).reshape(-1)
+            pl1 = np.ascontiguousarray(pl[:, :, 1]).reshape(-1)
+            blin = b[sel, 1] * Wp + b[sel, 0]         # (nsel,)
+            base = np.repeat(blin, pl0.size)
+            v0 = flat[base + np.tile(pl0, len(sel))]
+            v1 = flat[base + np.tile(pl1, len(sel))]
+            bits = (v0 > v1).astype(np.float32).reshape(
+                len(sel) * self.ferns.structs, self.ferns.features)
+            out[sel] = (bits @ weights).reshape(
+                len(sel), self.ferns.structs).astype(np.uint32)
         return out
 
     def _deformed_fern(self, ga, box, angle, scale_d, shift):

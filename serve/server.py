@@ -46,19 +46,43 @@ def _decode_image(data: bytes, gray: bool):
         os.unlink(path)
 
 
-def _extract_body(handler) -> bytes:
+def _parse_multipart(handler) -> dict:
+    """All multipart fields by name: file parts -> bytes, strings -> str.
+    Non-multipart bodies come back as {"source": body} (the reference's
+    uri.c accepts both raw-body and form posts)."""
     length = int(handler.headers.get("Content-Length", 0))
     body = handler.rfile.read(length)
     ctype = handler.headers.get("Content-Type", "")
     m = re.search(r'boundary=("?)([^";]+)\1', ctype)
-    if m:  # multipart/form-data: take the first file part
-        boundary = m.group(2).encode()
-        for part in body.split(b"--" + boundary):
-            idx = part.find(b"\r\n\r\n")
-            if idx < 0 or b"filename=" not in part[:idx]:
-                continue
-            return part[idx + 4:].rstrip(b"\r\n-")
-    return body
+    if not m:
+        return {"source": body}
+    boundary = m.group(2).encode()
+    fields: dict = {}
+    for part in body.split(b"--" + boundary):
+        idx = part.find(b"\r\n\r\n")
+        if idx < 0:
+            continue
+        head = part[:idx].decode("latin-1")
+        nm = re.search(r'name=("?)([^";\r\n]+)\1', head)
+        if not nm:
+            continue
+        payload = part[idx + 4:].rstrip(b"\r\n-")
+        if "filename=" in head:
+            fields[nm.group(2)] = payload
+        else:
+            fields[nm.group(2)] = payload.decode("utf-8", "replace")
+    return fields
+
+
+def _extract_body(handler) -> bytes:
+    fields = _parse_multipart(handler)
+    src = fields.get("source")
+    if src is None:  # first file-ish field
+        for v in fields.values():
+            if isinstance(v, bytes):
+                return v
+        return b""
+    return src if isinstance(src, bytes) else src.encode()
 
 
 def _rects(comps):
@@ -126,6 +150,52 @@ def _mser(img):
              "size": k.size} for k in kps]
 
 
+def _convnet(fields):
+    """serve/convnet.c twin: classify with a reference convnet SQLite
+    model ("model" = path under --models-dir or absolute); returns top-5
+    with image-net words when the .words file sits next to the model."""
+    from ccv_tpu.models.convnet import Convnet
+
+    model = fields.get("model", "image-net-2012.sqlite3")
+    path = model if os.path.isabs(model) else os.path.join(MODELS_DIR, model)
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"convnet model not found: {path}")
+    if path not in _cache:
+        _cache[path] = Convnet.read(path)
+    img = _decode_image(fields["source"], gray=False)
+    ranks = _cache[path].classify(img, tops=5)
+    words_path = os.path.join(MODELS_DIR, "image-net-2012.words")
+    words = None
+    if os.path.exists(words_path):
+        with open(words_path) as f:
+            words = [ln.strip() for ln in f]
+    return [{"id": int(i) + 1, "confidence": float(c),
+             **({"word": words[int(i)]} if words and int(i) < len(words)
+                else {})}
+            for i, c in ranks]
+
+
+def _tld(fields):
+    """serve/tld.c twin: stateless track step — multipart "previous" +
+    "source" frames and the box (x, y, width, height) in the previous
+    frame; returns the tracked box."""
+    from ccv_tpu.detectors import tld
+
+    for req in ("previous", "source", "x", "y", "width", "height"):
+        if req not in fields:
+            raise ValueError(f"missing field '{req}'")
+    prev = _decode_image(fields["previous"], gray=True)
+    cur = _decode_image(fields["source"], gray=True)
+    box = tuple(int(float(fields[k])) for k in ("x", "y", "width", "height"))
+    t = tld.Tld(prev, box)
+    out, conf = t.track_object(prev, cur)
+    if out is None:
+        return {"found": False}
+    return {"found": bool(t.found), "x": int(out[0]), "y": int(out[1]),
+            "width": int(out[2]), "height": int(out[3]),
+            "confidence": float(conf)}
+
+
 ENDPOINTS = {
     "/scd/detect.objects": (_scd, False),
     "/bbf/detect.objects": (_bbf, True),
@@ -134,6 +204,12 @@ ENDPOINTS = {
     "/swt/detect.words": (_swt, True),
     "/sift": (_sift, True),
     "/mser": (_mser, True),
+}
+
+# endpoints that receive ALL form fields (not just the image)
+FIELD_ENDPOINTS = {
+    "/convnet/classify": _convnet,
+    "/tld/track.object": _tld,
 }
 
 
@@ -147,22 +223,29 @@ class Handler(BaseHTTPRequestHandler):
         self.wfile.write(data)
 
     def do_GET(self):  # noqa: N802 (stdlib convention)
+        all_eps = sorted(list(ENDPOINTS) + list(FIELD_ENDPOINTS))
         if self.path in ("/", ""):
-            self._json(200, sorted(ENDPOINTS))
+            self._json(200, all_eps)
         else:
             self._json(404, {"error": "unknown endpoint",
-                             "endpoints": sorted(ENDPOINTS)})
+                             "endpoints": all_eps})
 
     def do_POST(self):  # noqa: N802
-        if self.path not in ENDPOINTS:
-            self._json(404, {"error": "unknown endpoint",
-                             "endpoints": sorted(ENDPOINTS)})
-            return
-        fn, gray = ENDPOINTS[self.path]
         try:
-            img = _decode_image(_extract_body(self), gray)
-            with _lock:
-                out = fn(img)
+            if self.path in FIELD_ENDPOINTS:
+                fields = _parse_multipart(self)
+                with _lock:
+                    out = FIELD_ENDPOINTS[self.path](fields)
+            elif self.path in ENDPOINTS:
+                fn, gray = ENDPOINTS[self.path]
+                img = _decode_image(_extract_body(self), gray)
+                with _lock:
+                    out = fn(img)
+            else:
+                self._json(404, {"error": "unknown endpoint",
+                                 "endpoints": sorted(
+                                     list(ENDPOINTS) + list(FIELD_ENDPOINTS))})
+                return
             self._json(200, out)
         except Exception as e:  # noqa: BLE001 - report to the client
             self._json(500, {"error": f"{type(e).__name__}: {e}"})

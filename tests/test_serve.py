@@ -4,6 +4,7 @@ import json
 import os
 import sys
 import threading
+import urllib.error
 import urllib.request
 
 
@@ -27,5 +28,84 @@ def test_serve_endpoints():
             out = json.loads(r.read())
         assert len(out) > 100 and {"x", "y", "width", "height",
                                    "size"} <= set(out[0])
+    finally:
+        srv.shutdown()
+
+
+def _multipart(fields):
+    """Encode a dict of str->bytes|str as multipart/form-data."""
+    boundary = "graftboundary42"
+    out = []
+    for name, val in fields.items():
+        out.append(f"--{boundary}\r\n".encode())
+        if isinstance(val, bytes):
+            out.append(
+                f'Content-Disposition: form-data; name="{name}"; '
+                f'filename="{name}.png"\r\n\r\n'.encode())
+            out.append(val + b"\r\n")
+        else:
+            out.append(
+                f'Content-Disposition: form-data; name="{name}"'
+                f"\r\n\r\n{val}\r\n".encode())
+    out.append(f"--{boundary}--\r\n".encode())
+    return b"".join(out), f"multipart/form-data; boundary={boundary}"
+
+
+def test_serve_tld_and_convnet():
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "serve"))
+    import server
+    from http.server import ThreadingHTTPServer
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), server.Handler)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        # /tld/track.object: rigid shift between two crops of street.png
+        import io as _io
+
+        import numpy as np
+        from ccv_tpu.core.io import read, write, IO_GRAY
+
+        img = read("/root/reference/samples/street.png", IO_GRAY).numpy()
+        crop0 = img[100:260, 380:540]
+        crop1 = img[103:263, 383:543]  # shifted content
+        import tempfile
+
+        def png_bytes(a):
+            from ccv_tpu.core import dense_matrix
+            with tempfile.NamedTemporaryFile(suffix=".png",
+                                             delete=False) as f:
+                path = f.name
+            write(dense_matrix.from_numpy(a), path)
+            with open(path, "rb") as f:
+                data = f.read()
+            os.unlink(path)
+            return data
+
+        body, ctype = _multipart({
+            "previous": png_bytes(crop0), "source": png_bytes(crop1),
+            "x": "50", "y": "40", "width": "48", "height": "80"})
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/tld/track.object", data=body,
+            headers={"Content-Type": ctype}, method="POST")
+        with urllib.request.urlopen(req) as r:
+            out = json.loads(r.read())
+        assert out.get("found"), out
+        # the content shifted by (-3, -3)
+        assert abs(out["x"] - 47) <= 3 and abs(out["y"] - 37) <= 3, out
+
+        # /convnet/classify with a missing model reports a clean error
+        body, ctype = _multipart({"source": png_bytes(crop0),
+                                  "model": "no-such-model.sqlite3"})
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/convnet/classify", data=body,
+            headers={"Content-Type": ctype}, method="POST")
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected HTTP 500")
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
+            assert "not found" in json.loads(e.read())["error"]
     finally:
         srv.shutdown()
