@@ -31,7 +31,7 @@ def test_encoder_decoder_shapes_and_grad():
                                         train=True, key=jax.random.PRNGKey(1))
         return tf.cross_entropy(lg, labels, label_smoothing=0.1)
 
-    loss, grads = jax.value_and_grad(loss_fn)(params)
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
     assert np.isfinite(float(loss))
     gnorm = jax.tree_util.tree_reduce(
         lambda a, g: a + float(jnp.sum(jnp.square(g))), grads, 0.0)
