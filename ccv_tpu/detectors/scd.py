@@ -37,6 +37,19 @@ from ccv_tpu.ops import basic, resample
 SCD_CHANNELS = 11  # 4 signed + 4 abs gradients + LUV (or gray + 2 zeros)
 _THETA = 2.0 / math.sqrt(32.0)  # L2Hys clamp
 
+# On TPU the default matmul feeds bf16 into the MXU; raw SAT values are
+# ~1e6 while box sums are ~1e2-1e4, so the mantissa loss adds noise to the
+# box sums (measured: ~0.05 max confidence deviation vs the reference
+# oracle on crop180, identical window sets; phase-A survivor counts
+# inflate but stay within the compaction capacity). Enabling this centers
+# the matmul operands on their first corner per window — mathematically a
+# no-op for the box sums (every corner row of M sums to zero) — which
+# restores f32-exact behavior at ~40% throughput cost (7.3 -> 5.1 MP/s on
+# the street.png bench). ccv_tpu.ops.pallas.scd_phase.phase_a is the
+# f32-exact phase-A kernel (faster than the centered XLA form standalone)
+# for callers that want exactness without the centering pass.
+TPU_EXACT_BOX_SUMS = False
+
 # small standalone program for the octave chain (shared across levels and
 # images; jax.jit caches by input shape)
 _sample_down_jit = jax.jit(lambda a: resample.sample_down(a))
@@ -272,6 +285,13 @@ def _surf_from_D(D, phase):
     # one (F*4, nd) @ (nd, n*8) matmul — XLA lowers the equivalent einsum
     # 'fd,ndc->nfc' to a much slower batched form
     Dt = D.transpose(1, 0, 2).reshape(nd, n * 8)
+    if TPU_EXACT_BOX_SUMS and jax.default_backend() == "tpu":
+        # see TPU_EXACT_BOX_SUMS: exact-invariant centering (row 0 is
+        # corner 0 for every (window, channel) column; every corner row
+        # of M sums to zero) keeps the bf16 MXU matmul from cancelling
+        # away the box sums. CPU f32 matmuls don't need it — left
+        # untouched so the bit-exact parity oracles keep passing.
+        Dt = Dt - Dt[0:1, :]
     box = jnp.matmul(M, Dt, preferred_element_type=jnp.float32)
     F = w.shape[0]
     surf = box.reshape(F, 4, n, 8).transpose(2, 0, 1, 3).reshape(n, F, 32)
@@ -289,7 +309,7 @@ def _surf_from_D(D, phase):
 
 def _eval_level(sat8, phase_a, phase_b1, phase_b2, all_off, last_count,
                 n_stages: int, ny: int, nx: int, step: int, K1: int,
-                K2: int):
+                K2: int, allow_kernel: bool = True):
     """Evaluate one pyramid level as a STAGED cascade (up to three phases).
 
     The reference's per-window early exit (ccv_scd.c:1719-1768) becomes:
@@ -305,13 +325,14 @@ def _eval_level(sat8, phase_a, phase_b1, phase_b2, all_off, last_count,
     """
     planes, th, tw = _phase_planes(sat8, ny, nx, int(all_off[:, 0].max()),
                                    int(all_off[:, 1].max()), step)
-    # phase A covers the full window grid -> dense unit-stride plane slices
+    # phase A covers the full window grid -> dense unit-stride slices
     D_a = _grid_corner_slices(planes, phase_a["offsets"], ny, nx, step)
     v_a, pass_a = _surf_from_D(D_a, phase_a)
+    v_last = v_a[:, -1]
     zero = jnp.zeros((), jnp.int32)
     if phase_b1 is None:
         # tiny cascade: single phase, "compaction" is just the pass mask
-        conf = v_a[:, -1] / last_count + (n_stages - 1)
+        conf = v_last / last_count + (n_stages - 1)
         idx = jnp.arange(ny * nx, dtype=jnp.int32)
         return idx, pass_a, conf, jnp.stack(
             [jnp.sum(pass_a, dtype=jnp.int32), zero])
@@ -469,7 +490,8 @@ def _tiled_phase(tabs, name: str, step: int):
 
 def _make_level_body(src_shape, rows: int, cols: int, ny: int, nx: int,
                      is_base: bool, cascade: ScdClassifierCascade,
-                     step: int, tabs, K1: int, K2: int):
+                     step: int, tabs, K1: int, K2: int,
+                     allow_kernel: bool = True):
     """Traceable body for one pyramid level: (optional INTER_AREA resample)
     -> margin pad -> scd_map -> SAT -> staged cascade eval."""
     margin = cascade.margin
@@ -492,7 +514,8 @@ def _make_level_body(src_shape, rows: int, cols: int, ny: int, nx: int,
                                padding=algebra.PADDING_ZERO)
         return _eval_level(sat8, phase_a, phase_b1, phase_b2,
                            tabs["all_off"], last_count, n_stages,
-                           ny=ny, nx=nx, step=step, K1=K1, K2=K2)
+                           ny=ny, nx=nx, step=step, K1=K1, K2=K2,
+                           allow_kernel=allow_kernel)
 
     return level
 
@@ -518,7 +541,8 @@ def _get_level_fn(src_shape, rows: int, cols: int, ny: int, nx: int,
     if fn is not None:
         return fn
     level = _make_level_body(src_shape, rows, cols, ny, nx, is_base,
-                             cascade, step, tabs, K1, K2)
+                             cascade, step, tabs, K1, K2,
+                             allow_kernel=not batch)
     fn = jax.jit(jax.vmap(level, in_axes=(0, None)) if batch else level)
     _LEVEL_CACHE[key] = fn
     return fn
