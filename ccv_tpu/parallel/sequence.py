@@ -96,7 +96,10 @@ def ring_attention(q, k, v, mesh: Mesh, seq_axis: str = "seq",
     computes its q shard against the full sequence by circulating k/v
     shards around the ring — peak per-device memory is O(T/n).
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
 
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
