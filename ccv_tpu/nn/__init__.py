@@ -19,6 +19,8 @@ on top:
 - ``palettize``   4-8 bit palette weight quantization (ccv_nnc_palettize.c)
 - ``dynamic``     eager tape (ccv_nnc_dynamic_graph.c) — thin: jax is eager
                   by default; the tape records for backward()
+- ``moe``         Mixture-of-Experts FFN with expert parallelism (no
+                  reference twin — designed fresh for TPU per SURVEY §2.5)
 """
 
 from ccv_tpu.nn import ops, layers, model, optimizers

@@ -1,3 +1,7 @@
+"""Mesh + collectives, and the parallelism axes beyond the reference:
+sequence (ring attention), pipeline (GPipe), with expert parallelism in
+ccv_tpu.nn.moe and tensor parallelism in models.transformer.shardings."""
+
 from ccv_tpu.parallel.mesh import (
     comm_allreduce,
     comm_broadcast,
