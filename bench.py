@@ -71,8 +71,8 @@ def main():
     try:
         # throughput: keep two images in flight so one image's host round
         # trip overlaps the next image's device compute
-        n = 16
-        depth = 4
+        n = 24
+        depth = 6
         t0 = time.perf_counter()
         from collections import deque
         pending = deque(scd.detect_async(img.array, cascade)
