@@ -685,3 +685,68 @@ class Debug(Layer):
     def apply(self, params, state, x, training=False, key=None):
         jax.debug.callback(self.fn, x)
         return x, state
+
+
+class Squeeze(Layer):
+    """ccv_cnnp_squeeze-style: drop size-1 axes (all, or the given ones)."""
+
+    def __init__(self, axis=None, name: str = "squeeze"):
+        self.axis = axis
+        self.name = name
+
+    def init(self, key, in_shape):
+        if self.axis is None:
+            out = tuple(d for d in in_shape if d != 1)
+        else:
+            axes = {a % len(in_shape) for a in (
+                self.axis if isinstance(self.axis, (tuple, list))
+                else (self.axis,))}
+            out = tuple(d for i, d in enumerate(in_shape) if i not in axes)
+        return {}, {}, out
+
+    def apply(self, params, state, x, training=False, key=None):
+        return jnp.squeeze(x, axis=self.axis), state
+
+
+class CmdExec(Layer):
+    """ccv_cnnp_cmd_exec twin (ccv_nnc.h:4180+): wrap an arbitrary command
+    — any jittable ``fn(*inputs)`` (e.g. from ``ccv_tpu.nn.ops``) — as a
+    graph-model layer. Multi-input via symbolic call on several nodes."""
+
+    def __init__(self, fn, name: str = "cmd_exec"):
+        self.fn = fn
+        self.name = name
+
+    def init(self, key, in_shape):
+        shapes = in_shape if isinstance(in_shape, list) else [in_shape]
+        outs = jax.eval_shape(
+            self.fn, *[jax.ShapeDtypeStruct(tuple(s), jnp.float32)
+                       for s in shapes])
+        out = outs.shape if hasattr(outs, "shape") else [o.shape
+                                                         for o in outs]
+        return {}, {}, out
+
+    def apply(self, params, state, x, training=False, key=None):
+        if isinstance(x, (tuple, list)):
+            return self.fn(*x), state
+        return self.fn(x), state
+
+
+class Dynamic(Layer):
+    """ccv_cnnp_dynamic_new twin (ccv_nnc.h:3676): defer building the
+    inner model until the input shape is known; ``builder(shape)`` returns
+    the Layer to use."""
+
+    def __init__(self, builder, name: str = "dynamic"):
+        self.builder = builder
+        self.name = name
+        self._inner: Optional[Layer] = None
+
+    def init(self, key, in_shape):
+        self._inner = self.builder(tuple(in_shape))
+        return self._inner.init(key, in_shape)
+
+    def apply(self, params, state, x, training=False, key=None):
+        assert self._inner is not None, "init() first"
+        return self._inner.apply(params, state, x, training=training,
+                                 key=key)

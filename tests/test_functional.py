@@ -175,3 +175,23 @@ def test_remaining_simple_ctors():
     out, _ = _CMul().apply({}, {}, [jnp.asarray(c1), jnp.asarray(c2)])
     np.testing.assert_allclose(np.asarray(out),
                                [[-5.0, 10.0, 0.0, 2.0]], atol=1e-6)
+
+
+def test_squeeze_cmdexec_dynamic():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ccv_tpu.nn import functional as F, layers, ops
+
+    x = F.Input(shape=(2, 4, 1, 8))
+    h = F.Squeeze(axis=2)(x)
+    h = F.CmdExec(lambda v: ops.gelu(v))(h)
+    y = F.Dynamic(lambda shape: layers.Dense(shape[-1] * 2))(h)
+    m = F.Model([x], [y])
+    xv = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 1, 8))
+    m.build([(2, 4, 1, 8)], key=jax.random.PRNGKey(1))
+    out = m([xv])
+    out = out[0] if isinstance(out, (tuple, list)) else out
+    assert out.shape == (2, 4, 16)
+    assert np.isfinite(np.asarray(out)).all()
