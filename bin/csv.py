@@ -17,7 +17,7 @@ def main():
 
     t0 = time.time()
     df = Dataframe.from_csv(sys.argv[1], header=False)
-    cols = list(df._columns)
+    cols = df.columns
     print(f"Dataframe.from_csv {int((time.time() - t0) * 1000)} ms "
           f"({df.n} rows x {len(cols)} columns)")
     t0 = time.time()

@@ -32,6 +32,11 @@ class Dataframe:
         self._order = np.arange(n)
         self.n = n
 
+    @property
+    def columns(self):
+        """All column names (ccv_cnnp_dataframe_column_name twin)."""
+        return list(self._columns) + list(self._derived)
+
     # -- constructors -------------------------------------------------------
     @classmethod
     def from_array(cls, name: str, array) -> "Dataframe":
