@@ -309,7 +309,7 @@ def _surf_from_D(D, phase):
 
 def _eval_level(sat8, phase_a, phase_b1, phase_b2, all_off, last_count,
                 n_stages: int, ny: int, nx: int, step: int, K1: int,
-                K2: int, allow_kernel: bool = True):
+                K2: int):
     """Evaluate one pyramid level as a STAGED cascade (up to three phases).
 
     The reference's per-window early exit (ccv_scd.c:1719-1768) becomes:
@@ -490,8 +490,7 @@ def _tiled_phase(tabs, name: str, step: int):
 
 def _make_level_body(src_shape, rows: int, cols: int, ny: int, nx: int,
                      is_base: bool, cascade: ScdClassifierCascade,
-                     step: int, tabs, K1: int, K2: int,
-                     allow_kernel: bool = True):
+                     step: int, tabs, K1: int, K2: int):
     """Traceable body for one pyramid level: (optional INTER_AREA resample)
     -> margin pad -> scd_map -> SAT -> staged cascade eval."""
     margin = cascade.margin
@@ -514,8 +513,7 @@ def _make_level_body(src_shape, rows: int, cols: int, ny: int, nx: int,
                                padding=algebra.PADDING_ZERO)
         return _eval_level(sat8, phase_a, phase_b1, phase_b2,
                            tabs["all_off"], last_count, n_stages,
-                           ny=ny, nx=nx, step=step, K1=K1, K2=K2,
-                           allow_kernel=allow_kernel)
+                           ny=ny, nx=nx, step=step, K1=K1, K2=K2)
 
     return level
 
@@ -541,8 +539,7 @@ def _get_level_fn(src_shape, rows: int, cols: int, ny: int, nx: int,
     if fn is not None:
         return fn
     level = _make_level_body(src_shape, rows, cols, ny, nx, is_base,
-                             cascade, step, tabs, K1, K2,
-                             allow_kernel=not batch)
+                             cascade, step, tabs, K1, K2)
     fn = jax.jit(jax.vmap(level, in_axes=(0, None)) if batch else level)
     _LEVEL_CACHE[key] = fn
     return fn

@@ -157,10 +157,11 @@ def _dropout(x, rate, key, train):
     return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
 
 
-def _use_flash(q_len: int, head_dim: int, causal: bool, mask) -> bool:
-    # the Pallas kernel wants MXU-aligned tiles and no arbitrary mask
+def _use_flash(mask, dropout, train) -> bool:
+    # the kernel pads T/D itself; it can't apply an arbitrary key mask or
+    # attention-weight dropout, so those fall back to the XLA path
     return (mask is None and jax.default_backend() == "tpu"
-            and q_len % 128 == 0 and head_dim % 128 == 0)
+            and (not train or dropout <= 0.0))
 
 
 def _attend(q, k, v, heads: int, causal: bool, mask, dropout, key, train):
@@ -176,7 +177,7 @@ def _attend(q, k, v, heads: int, causal: bool, mask, dropout, key, train):
     qh = q.reshape(B, Tq, heads, hd)
     kh = k.reshape(B, Tk, heads, hd)
     vh = v.reshape(B, Tk, heads, hd)
-    if _use_flash(Tq, hd, causal, mask) and Tq == Tk:
+    if _use_flash(mask, dropout, train) and Tq == Tk:
         from ccv_tpu.ops.pallas import flash_attention
         out = flash_attention(qh, kh, vh, scale=scale, is_causal=causal)
         return out.reshape(B, Tq, D)

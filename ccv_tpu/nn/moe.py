@@ -106,8 +106,7 @@ def forward(params, cfg: MoEConfig, x,
     disp = jnp.zeros((E * C, D), t.dtype)
     w_keep = keep.astype(t.dtype)
     contrib = (t[:, None, :] * w_keep[..., None]).reshape(N * K, D)
-    disp = disp.at[flat_slot.reshape(-1)].add(
-        jnp.where(keep.reshape(-1, 1), contrib, 0.0))
+    disp = disp.at[flat_slot.reshape(-1)].add(contrib)
     buffers = disp.reshape(E, C, D)
 
     # expert FFN: batched matmuls, expert dim shardable
@@ -122,11 +121,8 @@ def forward(params, cfg: MoEConfig, x,
     out = jnp.sum(gathered * (gate_vals * keep)[..., None], axis=1)
 
     # Switch load-balance aux loss: E * sum_e fraction_e * mean_prob_e
-    frac = jnp.mean(
-        jnp.sum(jax.nn.one_hot(gate_idx[:, 0], E), axis=0) / N)
     me = jnp.mean(probs, axis=0)
     fe = jnp.sum(jax.nn.one_hot(gate_idx[:, 0], E, dtype=jnp.float32),
                  axis=0) / N
     aux = E * jnp.sum(fe * me)
-    del frac
     return out.reshape(orig_shape).astype(x.dtype), aux

@@ -27,11 +27,15 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def _stage_specs(params, axis: str):
+    return jax.tree_util.tree_map(
+        lambda p: P(*((axis,) + (None,) * (np.ndim(p) - 1))), params)
+
+
 def stage_params_sharding(params, mesh: Mesh, axis: str = "stage"):
     """Stacked per-stage params (leading dim = stage) sharded over `axis`."""
     return jax.tree_util.tree_map(
-        lambda p: NamedSharding(
-            mesh, P(*((axis,) + (None,) * (np.ndim(p) - 1)))), params)
+        lambda s: NamedSharding(mesh, s), _stage_specs(params, axis))
 
 
 def gpipe(stage_fn: Callable[[Any, jax.Array], jax.Array],
@@ -66,7 +70,9 @@ def gpipe(stage_fn: Callable[[Any, jax.Array], jax.Array],
             # stage 0 ingests microbatch t (if still filling)
             feed = xs[jnp.clip(t, 0, M - 1)]
             x_in = jnp.where(sidx == 0, feed, carry)
-            y = stage_fn(p, x_in)
+            # keep the scan carry dtype stable even when stage_fn
+            # promotes (e.g. bf16 activations through f32 params)
+            y = stage_fn(p, x_in).astype(xs.dtype)
             # last stage retires microbatch t - (S - 1)
             ridx = t - (S - 1)
             upd = jax.lax.dynamic_update_index_in_dim(
@@ -89,8 +95,7 @@ def gpipe(stage_fn: Callable[[Any, jax.Array], jax.Array],
     except ImportError:
         from jax.experimental.shard_map import shard_map
 
-    param_specs = jax.tree_util.tree_map(
-        lambda p: P(*((axis,) + (None,) * (np.ndim(p) - 1))), stage_params)
+    param_specs = _stage_specs(stage_params, axis)
     fn = shard_map(
         per_device, mesh=mesh,
         in_specs=(param_specs, P()),

@@ -36,7 +36,10 @@ _cache: dict = {}
 def _decode_image(data: bytes, gray: bool):
     from ccv_tpu.core import io as cio
 
-    with tempfile.NamedTemporaryFile(suffix=".png", delete=False) as f:
+    # suffix selects the decoder's gray coefficients (libpng vs libjpeg
+    # formulas differ by rounding); sniff the actual format
+    suffix = ".jpg" if data[:2] == b"\xff\xd8" else ".png"
+    with tempfile.NamedTemporaryFile(suffix=suffix, delete=False) as f:
         f.write(data)
         path = f.name
     try:
@@ -66,7 +69,13 @@ def _parse_multipart(handler) -> dict:
         nm = re.search(r'name=("?)([^";\r\n]+)\1', head)
         if not nm:
             continue
-        payload = part[idx + 4:].rstrip(b"\r\n-")
+        payload = part[idx + 4:]
+        # the boundary split leaves one CRLF (and, on the final part, the
+        # closing "--") — strip exactly that, never payload bytes
+        if payload.endswith(b"--"):
+            payload = payload[:-2]
+        if payload.endswith(b"\r\n"):
+            payload = payload[:-2]
         if "filename=" in head:
             fields[nm.group(2)] = payload
         else:
@@ -152,14 +161,17 @@ def _mser(img):
 
 def _convnet(fields):
     """serve/convnet.c twin: classify with a reference convnet SQLite
-    model ("model" = path under --models-dir or absolute); returns top-5
+    model ("model" = path under --models-dir); returns top-5
     with image-net words when the .words file sits next to the model."""
     from ccv_tpu.models.convnet import Convnet
 
     model = fields.get("model", "image-net-2012.sqlite3")
-    path = model if os.path.isabs(model) else os.path.join(MODELS_DIR, model)
+    path = os.path.realpath(os.path.join(MODELS_DIR, model))
+    # like the reference server, only models under --models-dir are served
+    if not path.startswith(os.path.realpath(MODELS_DIR) + os.sep):
+        raise ValueError(f"model must live under the models dir: {model}")
     if not os.path.exists(path):
-        raise FileNotFoundError(f"convnet model not found: {path}")
+        raise FileNotFoundError(f"convnet model not found: {model}")
     if path not in _cache:
         _cache[path] = Convnet.read(path)
     img = _decode_image(fields["source"], gray=False)
