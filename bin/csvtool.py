@@ -2,7 +2,7 @@
 """bin/nnc/csv twin (reference: bin/nnc/csv.c): parse a CSV into a
 dataframe, iterate every row, and print the timings.
 
-    csv.py <file.csv>
+    csvtool.py <file.csv>
 """
 
 import sys

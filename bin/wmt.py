@@ -93,16 +93,21 @@ def main():
         src_vocab = load_vocab(args.src_vocab)
         tgt_vocab = load_vocab(args.tgt_vocab)
         sv, tv = len(src_vocab) + 4, len(tgt_vocab) + 4
+        # pad token ids are fixed by the vocab size (encode: pad = n - 1);
+        # compute up front so empty/mismatched files fail fast below
+        spad, tpad = sv - 1, tv - 1
         src_rows, tgt_rows, out_rows = [], [], []
         with open(args.src) as fs, open(args.tgt) as ft:
             for sline, tline in zip(fs, ft):
-                s, _, spad = encode(sline, src_vocab, max_len, False)
-                t, tl, tpad = encode(tline, tgt_vocab, max_len, True)
+                s, _, _ = encode(sline, src_vocab, max_len, False)
+                t, tl, _ = encode(tline, tgt_vocab, max_len, True)
                 # training target = tgt shifted left (wmt.c:106-108)
                 o = np.concatenate([t[1:], [tpad]]).astype(np.int32)
                 src_rows.append(s)
                 tgt_rows.append(t)
                 out_rows.append(o)
+        if not src_rows:
+            sys.exit(f"no sentence pairs read from {args.src} / {args.tgt}")
         src = np.stack(src_rows)
         tgt = np.stack(tgt_rows)
         out = np.stack(out_rows)

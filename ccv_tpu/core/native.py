@@ -14,7 +14,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-_LIB_PATH = os.path.join(os.path.dirname(__file__), "..", "..", "native",
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "..", "native",
                          "libccv_tpu_native.so")
 _lib: Optional[ctypes.CDLL] = None
 

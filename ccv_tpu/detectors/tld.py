@@ -304,6 +304,12 @@ class Tld:
         if n == 0:
             return out
         b = np.asarray(boxes, np.int32)
+        # float32 pack matmul is exact only while the packed code fits in
+        # the 24-bit mantissa; the reference's fern configs use <= 13
+        # features (ccv_tld.c TLD defaults) so this never binds in practice
+        assert self.ferns.features <= 24, (
+            f"fern features={self.ferns.features} > 24: float32 bit-pack "
+            "would lose bits; switch the pack matmul to float64")
         weights = (1 << np.arange(self.ferns.features - 1, -1, -1)).astype(
             np.float32)
         pts_all = self.ferns.points

@@ -44,9 +44,14 @@ def _block_attend(q, k, v, scale, q_off, k_off, t_total, causal):
     return m, l, acc
 
 
-def _ring_attention_shard(q, k, v, *, axis_name: str, scale: float,
-                          causal: bool, t_total: int):
-    """Runs INSIDE shard_map: local q/k/v shards of shape (B, T/n, H, D)."""
+def _ring_attention_shard(q, k, v, *, axis_name: str, axis_size: int,
+                          scale: float, causal: bool, t_total: int):
+    """Runs INSIDE shard_map: local q/k/v shards of shape (B, T/n, H, D).
+
+    axis_size is threaded explicitly (NOT read from a process-global keyed
+    by axis name): two meshes with the same axis name but different sizes
+    in one process must each get their own static ring unroll.
+    """
     n = jax.lax.psum(1, axis_name)
     idx = jax.lax.axis_index(axis_name)
     t_local = q.shape[1]
@@ -64,27 +69,19 @@ def _ring_attention_shard(q, k, v, *, axis_name: str, scale: float,
         return (m_new, l * c_old + lb * c_new,
                 acc * c_old + accb * c_new)
 
-    # static unroll over ring steps (n is known at trace time via mesh)
-    for s_step in range(_static_axis_size(axis_name)):
+    # static unroll over ring steps (axis_size is known at trace time)
+    for s_step in range(axis_size):
         src = (idx - s_step) % n          # whose k/v block we hold now
         k_off = src * t_local
         mb, lb, accb = _block_attend(q, k_cur, v_cur, scale,
                                      q_off, k_off, t_total, causal)
         m, l, acc = merge(m, l, acc, mb, lb, accb)
-        if s_step != _static_axis_size(axis_name) - 1:
-            pairs = [(i, (i + 1) % _static_axis_size(axis_name))
-                     for i in range(_static_axis_size(axis_name))]
+        if s_step != axis_size - 1:
+            pairs = [(i, (i + 1) % axis_size) for i in range(axis_size)]
             k_cur = jax.lax.ppermute(k_cur, axis_name, pairs)
             v_cur = jax.lax.ppermute(v_cur, axis_name, pairs)
     out = acc / jnp.maximum(l, 1e-30)
     return jnp.einsum("bhqd->bqhd", out).astype(q.dtype)
-
-
-_AXIS_SIZES: dict = {}
-
-
-def _static_axis_size(axis_name: str) -> int:
-    return _AXIS_SIZES[axis_name]
 
 
 def ring_attention(q, k, v, mesh: Mesh, seq_axis: str = "seq",
@@ -106,11 +103,10 @@ def ring_attention(q, k, v, mesh: Mesh, seq_axis: str = "seq",
     t_total = q.shape[1]
     n = mesh.shape[seq_axis]
     assert t_total % n == 0, (t_total, n)
-    _AXIS_SIZES[seq_axis] = n
     spec = P(None, seq_axis, None, None)
     fn = shard_map(
         functools.partial(_ring_attention_shard, axis_name=seq_axis,
-                          scale=float(scale), causal=bool(is_causal),
-                          t_total=t_total),
+                          axis_size=int(n), scale=float(scale),
+                          causal=bool(is_causal), t_total=t_total),
         mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec)
     return fn(q, k, v)

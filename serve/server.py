@@ -33,9 +33,24 @@ _lock = threading.Lock()  # jax dispatch from one thread at a time
 _cache: dict = {}
 
 
+# request bodies are image uploads; the reference's libev server caps the
+# request buffer similarly (serve/serve.c) — 64 MB covers any sane image
+MAX_BODY_BYTES = 64 * 1024 * 1024
+
+
+class RequestError(Exception):
+    """Client error with an HTTP status (maps to 4xx, not 500)."""
+
+    def __init__(self, code: int, msg: str):
+        super().__init__(msg)
+        self.code = code
+
+
 def _decode_image(data: bytes, gray: bool):
     from ccv_tpu.core import io as cio
 
+    if not data:
+        raise RequestError(400, "empty image body")
     # suffix selects the decoder's gray coefficients (libpng vs libjpeg
     # formulas differ by rounding); sniff the actual format
     suffix = ".jpg" if data[:2] == b"\xff\xd8" else ".png"
@@ -45,6 +60,8 @@ def _decode_image(data: bytes, gray: bool):
     try:
         img = cio.read(path, cio.IO_GRAY if gray else cio.IO_RGB_COLOR)
         return np.asarray(img.numpy())
+    except Exception:
+        raise RequestError(400, "undecodable image")
     finally:
         os.unlink(path)
 
@@ -53,7 +70,12 @@ def _parse_multipart(handler) -> dict:
     """All multipart fields by name: file parts -> bytes, strings -> str.
     Non-multipart bodies come back as {"source": body} (the reference's
     uri.c accepts both raw-body and form posts)."""
-    length = int(handler.headers.get("Content-Length", 0))
+    try:
+        length = int(handler.headers.get("Content-Length", 0))
+    except (TypeError, ValueError):
+        raise RequestError(400, "bad Content-Length")
+    if length < 0 or length > MAX_BODY_BYTES:
+        raise RequestError(413, f"body exceeds {MAX_BODY_BYTES} bytes")
     body = handler.rfile.read(length)
     ctype = handler.headers.get("Content-Type", "")
     m = re.search(r'boundary=("?)([^";]+)\1', ctype)
@@ -259,11 +281,22 @@ class Handler(BaseHTTPRequestHandler):
                                      list(ENDPOINTS) + list(FIELD_ENDPOINTS))})
                 return
             self._json(200, out)
+        except RequestError as e:
+            self._json(e.code, {"error": str(e)})
         except Exception as e:  # noqa: BLE001 - report to the client
             self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
     def log_message(self, fmt, *args):
         pass
+
+
+class Server(ThreadingHTTPServer):
+    """Threaded server with a deep accept backlog (the default 5 drops
+    connections under concurrent load) and bounded per-request lifetime."""
+
+    request_queue_size = 128
+    daemon_threads = True
+    timeout = 60
 
 
 def main():
@@ -273,7 +306,7 @@ def main():
     ap.add_argument("--models-dir", default=MODELS_DIR)
     args = ap.parse_args()
     MODELS_DIR = args.models_dir
-    srv = ThreadingHTTPServer(("0.0.0.0", args.port), Handler)
+    srv = Server(("0.0.0.0", args.port), Handler)
     print(f"serving on :{args.port}")
     srv.serve_forever()
 

@@ -34,7 +34,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 import numpy as np
 import pytest
 
-REFERENCE = "/root/reference"
+REFERENCE = os.environ.get("CCV_TPU_REFERENCE", "/root/reference")
 
 
 def reference_path(rel: str) -> str:
@@ -89,7 +89,36 @@ def pytest_addoption(parser):
                      help="run the slow end-to-end fidelity tier as well")
 
 
+_module_uses_reference: dict = {}
+
+
+def _uses_reference(path: str) -> bool:
+    """Does this test module read from the reference checkout?
+
+    Many fidelity tests hardcode /root/reference sample/golden paths; on a
+    machine without the checkout (e.g. a CI runner) every such test must
+    skip, not error. Detect usage by source scan so new tests are covered
+    automatically without per-test markers.
+    """
+    cached = _module_uses_reference.get(path)
+    if cached is None:
+        try:
+            with open(path, "r") as f:
+                src = f.read()
+        except OSError:
+            src = ""
+        cached = ("/root/reference" in src or "reference_path(" in src
+                  or "read_golden(" in src or "REFERENCE" in src)
+        _module_uses_reference[path] = cached
+    return cached
+
+
 def pytest_collection_modifyitems(config, items):
+    if not has_reference():
+        skip_ref = pytest.mark.skip(reason="reference checkout not available")
+        for item in items:
+            if _uses_reference(str(item.fspath)):
+                item.add_marker(skip_ref)
     if config.getoption("--slow"):
         return
     skip = pytest.mark.skip(reason="slow tier: run with --slow")

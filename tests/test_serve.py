@@ -11,9 +11,8 @@ import urllib.request
 def test_serve_endpoints():
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "serve"))
     import server
-    from http.server import ThreadingHTTPServer
 
-    srv = ThreadingHTTPServer(("127.0.0.1", 0), server.Handler)
+    srv = server.Server(("127.0.0.1", 0), server.Handler)
     port = srv.server_address[1]
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
@@ -54,9 +53,8 @@ def _multipart(fields):
 def test_serve_tld_and_convnet():
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "serve"))
     import server
-    from http.server import ThreadingHTTPServer
 
-    srv = ThreadingHTTPServer(("127.0.0.1", 0), server.Handler)
+    srv = server.Server(("127.0.0.1", 0), server.Handler)
     port = srv.server_address[1]
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
@@ -107,5 +105,60 @@ def test_serve_tld_and_convnet():
         except urllib.error.HTTPError as e:
             assert e.code == 500
             assert "not found" in json.loads(e.read())["error"]
+    finally:
+        srv.shutdown()
+
+
+def test_serve_error_paths_and_concurrent_load():
+    """Hardening gates: size limit -> 413, bad image -> 400, and the
+    threading server survives concurrent clients (VERDICT r1 weak #8)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "serve"))
+    import server
+
+    srv = server.Server(("127.0.0.1", 0), server.Handler)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+
+    def post(path, data, headers=None):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}", data=data,
+            headers=headers or {}, method="POST")
+        try:
+            with urllib.request.urlopen(req) as r:
+                return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    try:
+        # oversized Content-Length is rejected before the body is read
+        code, out = post("/mser", b"x",
+                         {"Content-Length": str(server.MAX_BODY_BYTES + 1)})
+        assert code == 413, (code, out)
+        # undecodable image body -> 400 (client error, not a 500)
+        code, out = post("/mser", b"this is not an image")
+        assert code == 400 and "image" in out["error"], (code, out)
+        # empty body -> 400
+        code, out = post("/mser", b"")
+        assert code == 400, (code, out)
+
+        # concurrent clients: 16 threads x (GET / + bad POST) all answered
+        errors = []
+
+        def hammer():
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{port}/") as r:
+                    assert r.status == 200
+                code, _ = post("/mser", b"junk")
+                assert code == 400
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [threading.Thread(target=hammer) for _ in range(16)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        assert not errors, errors
     finally:
         srv.shutdown()
