@@ -1,16 +1,23 @@
-"""North-star benchmark: megapixels/sec/chip through pyramid + face detect.
+"""North-star benchmark: every BASELINE.json config on the real TPU chip.
 
-Runs the SCD face-detect pipeline (octave+interval pyramid -> 11-channel
-SURF map -> SAT -> batched cascade over every sliding window) on the real
-TPU chip and reports sustained throughput.
+Configs (BASELINE.json):
+  scd   — SCD face detection, pyramid + staged cascade (primary metric,
+          MP/s/chip, face-bearing image with asserted detections)
+  sift  — SIFT extract book.png + scene.png + ratio match (bin/siftmatch)
+  swt   — SWT text detection on street.png (bin/swtdetect)
+  icf   — ICF pedestrian detection on pedestrian.png (bin/icfdetect)
+  vgg   — VGG-D ImageNet forward, images/sec/chip bf16 (bin/cnnclassify)
 
-Baseline: the reference's C scddetect on this machine's CPU processed
-street.png (640x480 = 0.307 MP) in ~249 ms single-image => ~1.23 MP/s
-(consistent with doc/scd.rst's 381 ms on a smaller grayscale image).
+Baselines are the REFERENCE's C tools compiled on this machine
+(/tmp/refbuild, see tests/data/gen/README.md) and timed on its single
+CPU core; constants below carry the measured numbers.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Every stage fails loudly: a stage error still prints the JSON line, with
-value 0 and an "error" field naming the stage.
+Prints ONE JSON line: the primary SCD metric at the top level (driver
+contract) plus a "configs" object holding every config's number.
+Every stage fails loudly: a failed config reports an "error" field but the
+line still prints.
+
+Run a subset with BENCH_CONFIGS=scd,sift (env) — default is all.
 """
 
 import json
@@ -21,80 +28,223 @@ import traceback
 
 import numpy as np
 
-REFERENCE_CPU_MPS = 1.23  # measured: /tmp/refbuild scddetect street.png 249ms
+# measured reference-C numbers on THIS machine's single CPU core; the
+# authoritative values + measurement commands live in
+# tests/data/ref_baselines.json (loaded below), these are fallbacks
+REF = {
+    "scd_mps": 1.02,      # scddetect, face-bearing 0.274 MP image, 268 ms
+    "sift_ms": 836,       # siftmatch book.png scene.png, extract+match
+    "swt_ms": 17,         # swtdetect text_test.png
+    "icf_ms": 12,         # icfdetect pedestrian.png pedestrian.icf
+    "vgg_img_s": 0.46,    # ccv_convnet_encode VGG-D 225x225, CBLAS
+}
+_here = os.path.dirname(os.path.abspath(__file__))
+_ref_json = os.path.join(_here, "tests", "data", "ref_baselines.json")
+if os.path.exists(_ref_json):
+    with open(_ref_json) as f:
+        REF.update(json.load(f))
+
+SAMPLES = "/root/reference/samples"
+FACE_IMG = "/root/reference/site/photo/2012-06-29-face.png"
 
 
-def _fail(stage: str, exc: BaseException):
-    print(json.dumps({
-        "metric": "pyramid+scd_detect throughput",
-        "value": 0.0, "unit": "MP/s/chip", "vs_baseline": 0.0,
-        "error": f"{stage}: {type(exc).__name__}: {exc}",
-    }))
-    traceback.print_exc(file=sys.stderr)
-    sys.exit(1)
+def _vs(value, baseline):
+    return round(value / baseline, 2) if baseline else None
+
+
+def bench_scd():
+    """Primary: MP/s/chip through pyramid + staged cascade, pipelined.
+
+    Face-bearing image (two frontal faces, the reference's own SCD demo
+    photo) so phases B1/B2 carry real survivor load; detections asserted.
+    """
+    import jax  # noqa: F401
+    from ccv_tpu.core.io import read, IO_RGB_COLOR
+    from ccv_tpu.detectors import scd
+
+    img = read(FACE_IMG, IO_RGB_COLOR)
+    h, w = img.rows, img.cols
+    megapixels = h * w / 1e6
+    cascade = scd.load_cascade(os.path.join(SAMPLES, "face.sqlite3"))
+    for _ in range(2):  # warmup: compiles the per-octave programs
+        faces = scd.detect(img.array, cascade)
+    assert len(faces) >= 2, f"expected >= 2 faces, got {len(faces)}"
+
+    from collections import deque
+    n, depth = 24, 6
+    t0 = time.perf_counter()
+    pending = deque(scd.detect_async(img.array, cascade)
+                    for _ in range(depth))
+    for _ in range(n - depth):
+        scd.detect_collect(pending.popleft())
+        pending.append(scd.detect_async(img.array, cascade))
+    while pending:
+        scd.detect_collect(pending.popleft())
+    dt = (time.perf_counter() - t0) / n
+    mps = megapixels / dt
+    return {"value": round(mps, 3), "unit": "MP/s/chip",
+            "vs_baseline": _vs(mps, REF["scd_mps"]),
+            "detect_ms": round(dt * 1000, 1), "faces": len(faces)}
+
+
+def bench_sift():
+    """bin/siftmatch: extract object + scene keypoints, ratio-match."""
+    from ccv_tpu.core.io import read, IO_GRAY
+    from ccv_tpu.detectors import sift
+
+    obj = read(os.path.join(SAMPLES, "book.png"), IO_GRAY)
+    scene = read(os.path.join(SAMPLES, "scene.png"), IO_GRAY)
+
+    def run():
+        k1, d1 = sift.sift(obj.array)
+        k2, d2 = sift.sift(scene.array)
+        idx, ok = sift.match(d1, d2)
+        return len(k1), int(np.asarray(ok).sum())
+
+    nk, nmatch = run()  # warmup/compile
+    assert nmatch >= 10, f"expected >= 10 matches, got {nmatch}"
+    n = 6
+    t0 = time.perf_counter()
+    for _ in range(n):
+        run()
+    ms = (time.perf_counter() - t0) / n * 1000
+    base = REF["sift_ms"]
+    return {"value": round(ms, 1), "unit": "ms/pair",
+            "vs_baseline": _vs(base, ms) if base else None,
+            "keypoints": nk, "matches": nmatch}
+
+
+def bench_swt():
+    """bin/swtdetect: stroke-width text boxes on the 640x480 text fixture.
+
+    (The reference's own swtdetect finds 0 boxes on samples/street.png at
+    default params, so the text fixture — where it finds exactly 2 — is
+    the honest parity-bearing benchmark image.)
+    """
+    from ccv_tpu.core.io import read, IO_GRAY
+    from ccv_tpu.detectors import swt
+
+    img = read(os.path.join(_here, "tests", "data", "text_test.png"),
+               IO_GRAY)
+    words = swt.detect_words(img.array)  # warmup/compile
+    assert len(words) == REF.get("swt_ref_words", 2), \
+        f"expected {REF.get('swt_ref_words', 2)} words, got {len(words)}"
+    n = 6
+    t0 = time.perf_counter()
+    for _ in range(n):
+        swt.detect_words(img.array)
+    ms = (time.perf_counter() - t0) / n * 1000
+    base = REF["swt_ms"]
+    return {"value": round(ms, 1), "unit": "ms/image",
+            "vs_baseline": _vs(base, ms) if base else None,
+            "words": len(words)}
+
+
+def bench_icf():
+    """bin/icfdetect: multi-scale pedestrian detection."""
+    from ccv_tpu.core.io import read, IO_RGB_COLOR
+    from ccv_tpu.detectors import icf
+
+    img = read(os.path.join(SAMPLES, "pedestrian.png"), IO_RGB_COLOR)
+    cascade = icf.load_cascade(os.path.join(SAMPLES, "pedestrian.icf"))
+    dets = icf.detect_objects(img.array, cascade)  # warmup/compile
+    # parity: the reference's icfdetect also finds 0 final detections on
+    # its own sample at default params (window-level parity is gated by
+    # tests/test_cascades.py against 4106 pre-NMS windows)
+    assert len(dets) == REF.get("icf_ref_detections", 0), \
+        f"expected {REF.get('icf_ref_detections', 0)} dets, got {len(dets)}"
+    n = 6
+    t0 = time.perf_counter()
+    for _ in range(n):
+        icf.detect_objects(img.array, cascade)
+    ms = (time.perf_counter() - t0) / n * 1000
+    base = REF["icf_ms"]
+    return {"value": round(ms, 1), "unit": "ms/image",
+            "vs_baseline": _vs(base, ms) if base else None,
+            "pedestrians": len(dets)}
+
+
+def bench_vgg():
+    """bin/cnnclassify north star: VGG-D forward images/sec/chip, bf16.
+
+    Batched 224x224 forward through the full 16-layer model (randomly
+    initialized — throughput depends only on the architecture).
+    """
+    import jax
+    import jax.numpy as jnp
+    from ccv_tpu.models import vgg
+
+    B = 32
+    model = vgg.vgg_d()
+    model.build((B, 224, 224, 3))  # weights cast to x.dtype (bf16) in-op
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((B, 224, 224, 3)),
+        jnp.bfloat16)
+    out = model.evaluate(x)   # warmup/compile
+    jax.block_until_ready(out)
+    n = 8
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = model.evaluate(x)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n
+    img_s = B / dt
+    base = REF["vgg_img_s"]
+    return {"value": round(img_s, 1), "unit": "images/sec/chip",
+            "vs_baseline": _vs(img_s, base) if base else None,
+            "batch": B, "ms_per_batch": round(dt * 1000, 1)}
+
+
+BENCHES = {"scd": bench_scd, "sift": bench_sift, "swt": bench_swt,
+           "icf": bench_icf, "vgg": bench_vgg}
 
 
 def main():
-    try:
-        import jax
-        # persistent compile cache: the ~24 per-level programs compile once
-        # per machine, so the driver's fresh-process run skips straight to
-        # the cached executables
-        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 ".jax_cache")
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-        from ccv_tpu.core.io import read, IO_RGB_COLOR
-        from ccv_tpu.detectors import scd
-    except Exception as e:  # noqa: BLE001
-        _fail("import", e)
+    import jax
+    cache_dir = os.path.join(_here, ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-    img_path = "/root/reference/samples/street.png"
-    if not os.path.exists(img_path):
-        _fail("sample image", FileNotFoundError(img_path))
-    try:
-        img = read(img_path, IO_RGB_COLOR)
-        h, w = img.rows, img.cols
-        megapixels = h * w / 1e6
-        cascade = scd.load_cascade("/root/reference/samples/face.sqlite3")
-    except Exception as e:  # noqa: BLE001
-        _fail("load", e)
+    wanted = os.environ.get("BENCH_CONFIGS", "all")
+    names = list(BENCHES) if wanted == "all" else [
+        w.strip() for w in wanted.split(",") if w.strip()]
+    # a fresh process pays every TPU compile (no persistent cache on the
+    # tunneled backend); bound total wall time so the primary metric always
+    # makes it out even if a late config would blow the driver's budget
+    budget = float(os.environ.get("BENCH_BUDGET_S", "3600"))
+    start = time.perf_counter()
+    configs = {}
+    for name in names:
+        if name != "scd" and time.perf_counter() - start > budget:
+            configs[name] = {"value": 0.0, "error": "skipped: time budget"}
+            continue
+        try:
+            t0 = time.perf_counter()
+            configs[name] = BENCHES[name]()
+            configs[name]["bench_wall_s"] = round(
+                time.perf_counter() - t0, 1)
+        except Exception as e:  # noqa: BLE001 — report, keep going
+            configs[name] = {"value": 0.0,
+                             "error": f"{type(e).__name__}: {e}"}
+            traceback.print_exc(file=sys.stderr)
+        print(f"[bench] {name}: {configs[name]}", file=sys.stderr)
 
-    try:
-        # warmup: compiles every pyramid-level program (persistent cache
-        # makes subsequent processes fast)
-        for _ in range(2):
-            scd.detect(img.array, cascade)
-    except Exception as e:  # noqa: BLE001
-        _fail("warmup/compile", e)
-
-    try:
-        # throughput: keep two images in flight so one image's host round
-        # trip overlaps the next image's device compute
-        n = 24
-        depth = 6
-        t0 = time.perf_counter()
-        from collections import deque
-        pending = deque(scd.detect_async(img.array, cascade)
-                        for _ in range(depth))
-        for _ in range(n - depth):
-            out = scd.detect_collect(pending.popleft())
-            pending.append(scd.detect_async(img.array, cascade))
-        while pending:
-            out = scd.detect_collect(pending.popleft())
-        dt = (time.perf_counter() - t0) / n
-    except Exception as e:  # noqa: BLE001
-        _fail("timed run", e)
-    mps = megapixels / dt
-    print(json.dumps({
+    primary = configs.get("scd", {"value": 0.0, "vs_baseline": 0.0})
+    line = {
         "metric": "pyramid+scd_detect throughput",
-        "value": round(mps, 3),
+        "value": primary.get("value", 0.0),
         "unit": "MP/s/chip",
-        "vs_baseline": round(mps / REFERENCE_CPU_MPS, 2),
-        "detect_ms": round(dt * 1000, 1),
-        "faces": len(out),
-        "device": str(jax.devices()[0]),
-    }))
+        "vs_baseline": primary.get("vs_baseline", 0.0),
+        "configs": configs,
+    }
+    try:
+        line["device"] = str(jax.devices()[0])
+    except Exception:  # noqa: BLE001
+        pass
+    if "error" in primary:
+        line["error"] = primary["error"]
+    print(json.dumps(line))
+    sys.exit(1 if "error" in primary else 0)
 
 
 if __name__ == "__main__":
