@@ -129,10 +129,15 @@ def bench_swt():
     words = swt.detect_words(img.array)  # warmup/compile
     assert len(words) == REF.get("swt_ref_words", 2), \
         f"expected {REF.get('swt_ref_words', 2)} words, got {len(words)}"
-    n = 6
+    from collections import deque
+    n, depth = 12, 3
     t0 = time.perf_counter()
-    for _ in range(n):
-        swt.detect_words(img.array)
+    pending = deque(swt.detect_words_async(img.array) for _ in range(depth))
+    for _ in range(n - depth):
+        swt.detect_words_collect(pending.popleft())
+        pending.append(swt.detect_words_async(img.array))
+    while pending:
+        swt.detect_words_collect(pending.popleft())
     ms = (time.perf_counter() - t0) / n * 1000
     base = REF["swt_ms"]
     return {"value": round(ms, 1), "unit": "ms/image",

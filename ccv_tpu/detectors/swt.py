@@ -1,19 +1,29 @@
 """SWT text detector (reference: lib/ccv_swt.c).
 
 TPU-native redesign of the per-pixel Bresenham ray casting (_ccv_swt,
-ccv_swt.c:41-230): every edge pixel's ray marches *simultaneously* as lanes
-of a 70-step vectorized loop (the reference's `for (w = 0; w < 70; w++)`
-bound becomes the static trip count), with masked state updates. Stroke
-painting uses scatter-min (order-independent, exactly the reference's
-min-write); the median rewrite pass computes all stroke medians from the
-painted map at once and resolves overlaps max-width-wins (the reference
-processes strokes in ascending width order sequentially — equivalent except
-for rare read-after-write chains; fidelity is gated at detection level).
+ccv_swt.c:41-230). Edge pixels are compacted into ray lanes whose count
+is bucketed to the measured edge density (static shapes, one compile per
+bucket). The reference's err-update recurrence reduces to a closed form
+(major axis advances every step, minor follows a ceil staircase —
+verified exhaustively), so every ray position is pure arithmetic: no
+serial march at all. Hit testing is one gather into a cross-dilated edge
+map (the 5-point probe of ccv_swt.c:71-74); stroke painting and the
+median rewrite pass scatter only the ~(edges x stroke width) live path
+cells, addressed through per-ray contiguous slot ranges recovered by a
+stamp + cummax (no dense-mask nonzero). The six ray families
+(2 polarities x {direct, +-rotated}, ccv_swt.c:86) run batched on one
+axis in a single program. The median is a rank-select by binary search
+over the value range (10 masked count-reductions — far cheaper than an
+XLA sort). Overlap resolution is max-width-wins (the reference processes
+strokes in ascending width order sequentially — equivalent except for
+rare read-after-write chains; fidelity is gated at detection level).
 
-Connected components run as iterative min-label propagation on device;
-letter statistics / textline pairing / word breakdown are small-n host math
+Connected components run on the host (scipy union-find, overlapped with
+device compute of the next image via `detect_words_async`); letter
+statistics / textline pairing / word breakdown are small-n host math
 (numpy), mirroring _ccv_swt_connected_letters / _merge_textline /
-_break_words (ccv_swt.c:305/:499/:557).
+_break_words (ccv_swt.c:305/:499/:557). A device min-label-propagation
+labeling (`_connected_components`) is kept for fully-on-device uses.
 """
 
 from __future__ import annotations
@@ -67,163 +77,237 @@ _DX9 = np.array([-1, 0, 1, -1, 0, 1, -1, 0, 1], np.int32)
 _DY9 = np.array([0, 0, 0, -1, -1, -1, 1, 1, 1], np.int32)
 
 
-@partial(jax.jit, static_argnames=("direction",))
+def _ray_lanes(hw: int) -> int:
+    """Static ray-lane cap from the image size.
+
+    Canny + close_outline edge density stays well under 1/6 on natural
+    images (street.png measures 9.6%); edges beyond the cap (pathological
+    inputs) are dropped with a degraded (still valid) stroke map.
+    """
+    return min(hw, -(-hw // 6 // 4096) * 4096) or 4096
+
+
+_BUCKETS = (4096, 8192, 16384, 32768, 65536, 131072, 262144)
+
+
+def _bucket_for(count: int, hw: int) -> int:
+    """Smallest lane bucket >= the measured edge count (capped).
+
+    Bucketing keeps shapes static (one compile per bucket) while sizing
+    the gather/scatter work to the actual edge density instead of the
+    worst case — a 6x saving on sparse-text images.
+    """
+    cap = _ray_lanes(hw)
+    for b in _BUCKETS:
+        if b >= min(count, cap):
+            return min(b, cap)
+    return cap
+
+
+@partial(jax.jit, static_argnames=("n_rays",))
+def _swt_rays_both(c: jax.Array, dx: jax.Array, dy: jax.Array, n_rays: int,
+                   gray8=None):
+    """Stroke-width maps for BOTH polarities in one program.
+
+    Six ray families (2 polarities x {direct, +rot, -rot}, ccv_swt.c:86)
+    march batched on one axis; the two polarities paint into disjoint
+    halves of a single scatter buffer. Returns (2, H, W) uint8
+    (DARK_TO_BRIGHT first; stroke widths are bounded by the 70-step ray
+    length so they fit u8).
+    """
+    H, W = c.shape
+    N = n_rays
+    F = 6
+    T = MAX_RAY
+    imax = jnp.iinfo(jnp.int32).max
+    cb = c != 0
+    dxf = dx.astype(jnp.int32)
+    dyf = dy.astype(jnp.int32)
+    cflat = jnp.pad(cb, 1).reshape(-1)           # (H+2)(W+2), +1 offset
+    dxp_flat = jnp.pad(dxf, 1).reshape(-1)
+    dyp_flat = jnp.pad(dyf, 1).reshape(-1)
+
+    def shift(arr, di, dj):
+        return jnp.pad(arr, 1)[1 + di:1 + di + H, 1 + dj:1 + dj + W]
+
+    # cross-dilated edge map: dil[y, x] == any of the 5-probe at (x, y),
+    # so hit testing needs one gather instead of five (ccv_swt.c:71-74)
+    dil = cb | shift(cb, 0, 1) | shift(cb, 0, -1) \
+        | shift(cb, 1, 0) | shift(cb, -1, 0)
+    dflat = jnp.pad(dil, 1).reshape(-1).astype(jnp.uint8)
+
+    def pidx(ys, xs):
+        return ((ys + 1).clip(0, H + 1) * (W + 2)
+                + (xs + 1).clip(0, W + 1))
+
+    # -- compact edge pixels into ray lanes --------------------------------
+    flat_edge = cb.reshape(-1)
+    (ridx,) = jnp.nonzero(flat_edge, size=N, fill_value=0)
+    lane = jnp.arange(N) < flat_edge.sum()
+    ox = (ridx % W).astype(jnp.int32)
+    oy = (ridx // W).astype(jnp.int32)
+    gdx = dxf.reshape(-1)[ridx]
+    gdy = dyf.reshape(-1)[ridx]
+
+    # family axis: polarity {+1, -1} x rotation {(1,0,0,1),(1,-1,1,1),(1,1,-1,1)}
+    dirs = jnp.array([1, 1, 1, -1, -1, -1], jnp.int32)[:, None]
+    xx = jnp.array([1, 1, 1] * 2, jnp.int32)[:, None]
+    xy = jnp.array([0, -1, 1] * 2, jnp.int32)[:, None]
+    yx = jnp.array([0, 1, -1] * 2, jnp.int32)[:, None]
+    yy = jnp.array([1, 1, 1] * 2, jnp.int32)[:, None]
+    rdx = gdx[None] * xx + gdy[None] * xy        # (F, N)
+    rdy = gdx[None] * yx + gdy[None] * yy
+    adx = jnp.abs(rdx)
+    ady = jnp.abs(rdy)
+    sx = jnp.where(rdx > 0, -1, 1) * dirs
+    sy = jnp.where(rdy > 0, -1, 1) * dirs
+
+    # -- closed-form Bresenham positions -----------------------------------
+    # The reference's err-update recurrence (ccv_swt.c:75-84) reduces to:
+    # major axis advances every step, minor follows the ceil staircase
+    # max(0, ceil((2 t mnr - maj) / (2 maj))) — verified exhaustively
+    # against the recurrence. No serial march at all.
+    maj = jnp.maximum(adx, ady)
+    mnr = jnp.minimum(adx, ady)
+    xmaj = adx >= ady
+    majs = jnp.maximum(maj, 1)
+    t = jax.lax.broadcasted_iota(jnp.int32, (T, F, N), 0) + 1   # t = 1..T
+    stepmaj = jnp.where(maj[None] > 0, t, 0)
+    stepmin = jnp.maximum(
+        0, (2 * t * mnr[None] + maj[None] - 1) // (2 * majs[None]))
+    xs = ox[None, None] + sx[None] * jnp.where(xmaj[None], stepmaj, stepmin)
+    ys = oy[None, None] + sy[None] * jnp.where(xmaj[None], stepmin, stepmaj)
+
+    # -- hit detection: one gather over the dilated map --------------------
+    inb = (xs >= 1) & (xs < W - 1) & (ys >= 1) & (ys < H - 1)
+    alive = jnp.cumsum((~inb).astype(jnp.int32), axis=0) == 0
+    far = (jnp.abs(ys - oy[None, None]) >= 2) \
+        | (jnp.abs(xs - ox[None, None]) >= 2)
+    found = dflat[pidx(ys, xs)] != 0
+    cand = alive & far & found
+    hit = cand.any(0)
+    s_hit = jnp.argmax(cand, axis=0)              # first True
+    hn = jnp.where(hit, s_hit + 1, 0)             # increments to the hit
+    hx0 = jnp.take_along_axis(xs, s_hit[None], 0)[0]
+    hy0 = jnp.take_along_axis(ys, s_hit[None], 0)[0]
+    # refine to the first-matching probe of the 5-cross (order of _DX5)
+    kx, ky = hx0, hy0
+    fnd = jnp.zeros((F, N), bool)
+    for k in range(5):
+        nx = hx0 + int(_DX5[k])
+        ny = hy0 + int(_DY5[k])
+        val = cflat[pidx(ny, nx)]
+        sel = val & ~fnd
+        kx = jnp.where(sel, nx, kx)
+        ky = jnp.where(sel, ny, ky)
+        fnd = fnd | val
+    # ray stop position: first hit or out-of-bounds step, else last
+    stop = (~inb) | cand
+    s_stop = jnp.where(stop.any(0), jnp.argmax(stop, axis=0), T - 1)
+    x1 = jnp.take_along_axis(xs, s_stop[None], 0)[0]
+    y1 = jnp.take_along_axis(ys, s_stop[None], 0)[0]
+
+    # -- gradient opposition at the hit (ccv_swt.c:137-155) ----------------
+    ok = hit & (kx > 0) & (kx < W - 1) & (ky > 0) & (ky < H - 1)
+    opp = jnp.zeros((F, N), bool)
+    for k in range(9):
+        qi = pidx(ky + int(_DY9[k]), kx + int(_DX9[k]))
+        gx = dxp_flat[qi]
+        gy = dyp_flat[qi]
+        tn = gdy[None] * gx - gdx[None] * gy
+        td = gdx[None] * gx + gdy[None] * gy
+        opp = opp | ((tn * 7 < -td * 4) & (tn * 7 > td * 4))
+    d2 = (x1 - ox[None]) ** 2 + (y1 - oy[None]) ** 2
+    w = jnp.round(jnp.sqrt(d2.astype(jnp.float32))).astype(jnp.int32)
+    valid = ok & opp & lane[None]
+
+    # -- compact path slots: per-ray contiguous ranges ---------------------
+    # Only ~(edge count x mean stroke width) path cells carry scatter
+    # updates. Each valid ray owns a contiguous slot range [start, start +
+    # hn]; a slot recovers its ray by binary search into the monotone
+    # starts and its position by the closed form — so the compaction needs
+    # no dense-mask nonzero (which lowers to a multi-ms scatter on TPU).
+    FN = F * N
+    pol = (jnp.arange(F, dtype=jnp.int32) // 3)[None, :, None]
+    npath = jnp.where(valid, hn + 1, 0).astype(jnp.int32).reshape(-1)
+    starts = jnp.cumsum(npath) - npath              # exclusive prefix sum
+    total = starts[-1] + npath[-1]
+    M = min((T + 1) * FN, 24 * N)                   # overflow drops strokes
+    m = jnp.arange(M, dtype=jnp.int32)
+    # slot -> ray: every valid ray stamps (id+1) at its start slot (starts
+    # are strictly increasing over valid rays, so indices are unique) and
+    # a cummax propagates ownership — O(log) depth, no binary search
+    ray_ids = jnp.arange(FN, dtype=jnp.int32)
+    stamp = jnp.zeros((M + 1,), jnp.int32).at[
+        jnp.where((npath > 0) & (starts < M), starts, M)].max(ray_ids + 1)
+    r = (jax.lax.cummax(stamp[:M]) - 1).clip(0, FN - 1)
+    tslot = (m - starts[r]).clip(0, T)
+    live = m < total
+    nr = r % N
+    fl = lambda arr: arr.reshape(-1)[r]  # noqa: E731 — per-slot ray param
+    majr = fl(maj)
+    smaj = jnp.where(majr > 0, tslot, 0)
+    smin = jnp.maximum(
+        0, (2 * tslot * fl(mnr) + majr - 1) // (2 * jnp.maximum(majr, 1)))
+    xm = ox[nr] + fl(sx) * jnp.where(fl(xmaj), smaj, smin)
+    ym = oy[nr] + fl(sy) * jnp.where(fl(xmaj), smin, smaj)
+    tgt_c = jnp.where(live, (r // (3 * N)) * (H * W) + ym * W + xm,
+                      2 * H * W)                    # sentinel slot if dead
+    painted = jnp.full((2 * H * W + 1,), imax, jnp.int32).at[
+        tgt_c].min(fl(w))
+    swt_flat = jnp.where(painted[:2 * H * W] == imax, 0,
+                         painted[:2 * H * W])
+
+    # -- median rewrite pass (max-width-wins; see module docstring) --------
+    # rank-(hn//2) select via binary search over the value range: 10
+    # masked count-reductions beat a length-71 XLA sort by a wide margin
+    xs_full = jnp.concatenate(
+        [jnp.broadcast_to(ox[None, None], (1, F, N)), xs])  # pos_0..pos_T
+    ys_full = jnp.concatenate(
+        [jnp.broadcast_to(oy[None, None], (1, F, N)), ys])
+    t_iota = jax.lax.broadcasted_iota(jnp.int32, (T + 1, F, N), 0)
+    flatpos = ys_full * W + xs_full
+    gpos = pol * (H * W) + flatpos.clip(0, H * W - 1)
+    vals = jnp.where(t_iota <= hn[None], swt_flat[gpos], imax)
+    k = hn // 2
+    med = jnp.zeros((F, N), jnp.int32)
+    for bit in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
+        mid = med + bit
+        cnt_below = (vals < mid[None]).sum(0)
+        med = jnp.where(cnt_below <= k, mid, med)
+    pk = jnp.where(valid, w * 1024 + med, 0)
+    packed = jnp.zeros((2 * H * W + 1,), jnp.int32).at[
+        tgt_c].max(jnp.where(live, fl(pk), 0))
+    packed = packed[:2 * H * W]
+    out = jnp.where(packed > 0, packed % 1024, swt_flat)
+    out = out.reshape(2, H, W).astype(jnp.uint8)
+    if gray8 is not None:
+        # ride the gray plane along so the host needs a single fetch
+        out = jnp.concatenate([out, gray8[None]], axis=0)
+    return out
+
+
 def swt_map(c: jax.Array, dx: jax.Array, dy: jax.Array, direction: int):
     """Stroke-width map for one polarity. c: closed edge map (H, W) nonzero;
     dx/dy: int32 sobel. Returns int32 (H, W) stroke widths (0 = none)."""
     H, W = c.shape
-    edge = c != 0
-    dxf = dx.astype(jnp.int32)
-    dyf = dy.astype(jnp.int32)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-    ii = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-    cpad = jnp.pad(c, 1) != 0  # +1 offset indexing with clamp-free bounds
-    dxp = jnp.pad(dxf, 1)
-    dyp = jnp.pad(dyf, 1)
+    both = _swt_rays_both(c, dx, dy, _ray_lanes(H * W))
+    return both[0 if direction == 1 else 1].astype(jnp.int32)
 
-    swt = jnp.zeros((H, W), jnp.int32)
 
-    for (xx, xy, yx, yy) in ((1, 0, 0, 1), (1, -1, 1, 1), (1, 1, -1, 1)):
-        rdx = dxf * xx + dyf * xy
-        rdy = dxf * yx + dyf * yy
-        adx = jnp.abs(rdx)
-        ady = jnp.abs(rdy)
-        sx = jnp.where(rdx > 0, -direction, direction).astype(jnp.int32)
-        sy = jnp.where(rdy > 0, -direction, direction).astype(jnp.int32)
+@partial(jax.jit, static_argnames=("size", "low", "high"))
+def _swt_frontend(pyr: jax.Array, size: int, low: int, high: int):
+    """Edge/gradient front-end as one program: sobel + canny +
+    close_outline (+ edge count for lane bucketing, + u8 gray for the
+    host letter stage). XLA CSEs the sobel shared with canny."""
+    dx = basic.sobel(pyr, size, 0)
+    dy = basic.sobel(pyr, 0, size)
+    c = classic.close_outline(classic.canny(pyr, size, low, high))
+    return (c.astype(jnp.uint8), dx.astype(jnp.int32),
+            dy.astype(jnp.int32),
+            (c != 0).reshape(-1).sum(dtype=jnp.int32),
+            jnp.clip(pyr, 0, 255).astype(jnp.uint8))
 
-        def increment(x0, y0, err):
-            e2 = 2 * err
-            stepx = e2 > -ady
-            stepy = e2 < adx
-            err = err - jnp.where(stepx, ady, 0) + jnp.where(stepy, adx, 0)
-            return (x0 + jnp.where(stepx, sx, 0),
-                    y0 + jnp.where(stepy, sy, 0), err)
-
-        # -- march ---------------------------------------------------------
-        def march_body(t, state):
-            x0, y0, err, active, hit, hx, hy, hn = state
-            x0n, y0n, errn = increment(x0, y0, err)
-            inb = (x0n >= 1) & (x0n < W - 1) & (y0n >= 1) & (y0n < H - 1)
-            far = (jnp.abs(ii - y0n) >= 2) | (jnp.abs(jj - x0n) >= 2)
-            # 5-neighborhood probe; first match wins (order of _DX5)
-            found = jnp.zeros_like(active)
-            kx = x0n
-            ky = y0n
-            for k in range(5):
-                nx = x0n + int(_DX5[k])
-                ny = y0n + int(_DY5[k])
-                val = cpad[(ny + 1).clip(0, H + 1), (nx + 1).clip(0, W + 1)]
-                sel = val & ~found
-                kx = jnp.where(sel, nx, kx)
-                ky = jnp.where(sel, ny, ky)
-                found = found | val
-            hit_now = active & inb & far & found
-            hx = jnp.where(hit_now, kx, hx)
-            hy = jnp.where(hit_now, ky, hy)
-            hn = jnp.where(hit_now, t + 1, hn)  # number of increments taken
-            still = active & inb & ~hit_now
-            x0 = jnp.where(active, x0n, x0)
-            y0 = jnp.where(active, y0n, y0)
-            err = jnp.where(active, errn, err)
-            return x0, y0, err, still, hit | hit_now, hx, hy, hn
-
-        err0 = adx - ady
-        state = (jj, ii, err0, edge, jnp.zeros((H, W), bool),
-                 jj, ii, jnp.zeros((H, W), jnp.int32))
-        x1, y1, _, _, hit, hx, hy, hn = jax.lax.fori_loop(
-            0, MAX_RAY, march_body, state)
-
-        # -- gradient opposition check at the hit (ccv_swt.c:137-155) ------
-        ok = hit & (hx > 0) & (hx < W - 1) & (hy > 0) & (hy < H - 1)
-        opp = jnp.zeros((H, W), bool)
-        for k in range(9):
-            gx = dxp[(hy + 1 + int(_DY9[k])).clip(0, H + 1),
-                     (hx + 1 + int(_DX9[k])).clip(0, W + 1)]
-            gy = dyp[(hy + 1 + int(_DY9[k])).clip(0, H + 1),
-                     (hx + 1 + int(_DX9[k])).clip(0, W + 1)]
-            tn = dyf * gx - dxf * gy
-            td = dxf * gx + dyf * gy
-            opp = opp | ((tn * 7 < -td * 4) & (tn * 7 > td * 4))
-        valid = ok & opp
-        # stroke width: distance from start to the ray stop position (x1, y1)
-        d2 = (x1 - jj) ** 2 + (y1 - ii) ** 2
-        w = jnp.round(jnp.sqrt(d2.astype(jnp.float32))).astype(jnp.int32)
-
-        # -- paint min(w) along the replayed path --------------------------
-        flat_w = jnp.where(valid, w, jnp.iinfo(jnp.int32).max).reshape(-1)
-
-        def paint_body(t, state):
-            x0, y0, err, swt_flat = state
-            pos = (y0 * W + x0).reshape(-1)
-            upd = jnp.where((t <= hn).reshape(-1) & valid.reshape(-1),
-                            flat_w, jnp.iinfo(jnp.int32).max)
-            swt_flat = swt_flat.at[pos].min(upd, mode="drop")
-            x0n, y0n, errn = increment(x0, y0, err)
-            return x0n, y0n, errn, swt_flat
-
-        big = jnp.full((H * W,), jnp.iinfo(jnp.int32).max, jnp.int32)
-        _, _, _, painted = jax.lax.fori_loop(
-            0, MAX_RAY + 1, paint_body, (jj, ii, err0, big))
-        painted = painted.reshape(H, W)
-        cur = jnp.where(swt == 0, jnp.iinfo(jnp.int32).max, swt)
-        swt = jnp.where(painted < cur, painted, swt)
-
-        # store per-ray geometry for the median pass
-        if xx == 1 and xy == 0:
-            rays = [(valid, w, hn, sx, sy, adx, ady)]
-        else:
-            rays.append((valid, w, hn, sx, sy, adx, ady))
-
-    # -- median rewrite pass (approximate order; see module docstring) -----
-    def median_pass(swt):
-        swt_flat = swt.reshape(-1)
-        # packed scatter-max: stroke with larger w wins; value = w*1024+median
-        packed = jnp.zeros((H * W,), jnp.int32)
-        for (valid, w, hn, sx, sy, adx, ady) in rays:
-            err0 = adx - ady
-
-            def gather_body(t, state):
-                x0, y0, err, vals = state
-                pos = (y0 * W + x0).reshape(-1)
-                v = jnp.where((t <= hn).reshape(-1), swt_flat[pos], 0)
-                vals = vals.at[t].set(v)
-                e2 = 2 * err
-                stepx = e2 > -ady
-                stepy = e2 < adx
-                err = err - jnp.where(stepx, ady, 0) + jnp.where(stepy, adx, 0)
-                return (x0 + jnp.where(stepx, sx, 0),
-                        y0 + jnp.where(stepy, sy, 0), err, vals)
-
-            vals0 = jnp.zeros((MAX_RAY + 1, H * W), jnp.int32)
-            _, _, _, vals = jax.lax.fori_loop(
-                0, MAX_RAY + 1, gather_body, (jj, ii, err0, vals0))
-            # median over the first hn+1 entries: sort with +inf padding
-            n = (hn + 1).reshape(-1)
-            t_idx = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 0)
-            padded = jnp.where(t_idx < n[None, :], vals, jnp.iinfo(jnp.int32).max)
-            svals = jnp.sort(padded, axis=0)
-            med = jnp.take_along_axis(svals, ((n - 1) // 2)[None, :], axis=0)[0]
-            wflat = w.reshape(-1)
-            pk = jnp.where(valid.reshape(-1), wflat * 1024 + med, 0)
-
-            def scatter_body(t, state):
-                x0, y0, err, packed = state
-                pos = (y0 * W + x0).reshape(-1)
-                upd = jnp.where((t <= hn).reshape(-1), pk, 0)
-                packed = packed.at[pos].max(upd, mode="drop")
-                e2 = 2 * err
-                stepx = e2 > -ady
-                stepy = e2 < adx
-                err = err - jnp.where(stepx, ady, 0) + jnp.where(stepy, adx, 0)
-                return (x0 + jnp.where(stepx, sx, 0),
-                        y0 + jnp.where(stepy, sy, 0), err, packed)
-
-            _, _, _, packed = jax.lax.fori_loop(
-                0, MAX_RAY + 1, scatter_body, (jj, ii, err0, packed))
-        med = (packed % 1024).reshape(H, W)
-        return jnp.where(packed.reshape(H, W) > 0, med, swt)
-
-    return median_pass(swt)
 
 
 @jax.jit
@@ -256,11 +340,49 @@ def _connected_components(swt: jax.Array, ratio: int = 3):
             nw = nb(swt, di, dj, 0)
             join = fg & (nw > 0) & (nw <= ratio * swt) & (nw * ratio >= swt)
             new = jnp.where(join, jnp.minimum(new, nl), new)
+        # pointer jumping: labels index pixels of the same component, so
+        # label[label] is also in-component; two hops per sweep turn the
+        # O(diameter) propagation into O(log) with an identical fixpoint
+        for _ in range(2):
+            lflat = new.reshape(-1)
+            new = jnp.where(
+                fg, jnp.minimum(new, lflat[new.clip(0, H * W - 1)]), new)
         return new, jnp.any(new != labels)
 
     labels, _ = jax.lax.while_loop(lambda s: s[1], body,
                                    (labels, jnp.bool_(True)))
     return jnp.where(fg, labels, -1)
+
+
+def _cc_host(swt_np: np.ndarray, ratio: int = 3) -> np.ndarray:
+    """Width-ratio-gated 8-connected components on the host.
+
+    Same join rule as `_connected_components` (neighbor widths within
+    `ratio`x), via scipy's C union-find — runs in a few ms while the
+    device crunches the next image, and avoids fetching a label map.
+    """
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import connected_components
+
+    s = swt_np.astype(np.int32)
+    H, W = s.shape
+    fg = s > 0
+    idx = np.arange(H * W, dtype=np.int32).reshape(H, W)
+    rows, cols = [], []
+    for di, dj in ((0, 1), (1, 0), (1, 1), (1, -1)):
+        i0, i1 = max(0, -di), H - max(0, di)
+        j0, j1 = max(0, -dj), W - max(0, dj)
+        A = s[i0:i1, j0:j1]
+        B = s[i0 + di:i1 + di, j0 + dj:j1 + dj]
+        m = (A > 0) & (B > 0) & (B <= ratio * A) & (A <= ratio * B)
+        rows.append(idx[i0:i1, j0:j1][m])
+        cols.append(idx[i0 + di:i1 + di, j0 + dj:j1 + dj][m])
+    r = np.concatenate(rows)
+    c = np.concatenate(cols)
+    g = sp.coo_matrix((np.ones(len(r), np.int8), (r, c)),
+                      shape=(H * W, H * W))
+    _, lab = connected_components(g, directed=False)
+    return np.where(fg, lab.reshape(H, W), -1)
 
 
 def _letters_from_components(image_gray: np.ndarray, swt: np.ndarray,
@@ -444,6 +566,25 @@ def _bbox(ls):
     return dict(x=x0, y=y0, width=x1 - x0, height=y1 - y0)
 
 
+_COUNT_HINT: dict = {}   # (H, W) -> last seen edge count (lane bucketing)
+_EXECUTOR = None
+
+
+def detect_words_async(a, params: Optional[SwtParams] = None):
+    """Pipelined detection: submit an image, overlap device compute,
+    tunnel transfers and the host letter stage across in-flight images.
+    Returns a future; resolve with `detect_words_collect`."""
+    global _EXECUTOR
+    if _EXECUTOR is None:
+        from concurrent.futures import ThreadPoolExecutor
+        _EXECUTOR = ThreadPoolExecutor(max_workers=3)
+    return _EXECUTOR.submit(detect_words, a, params)
+
+
+def detect_words_collect(fut) -> List[Comp]:
+    return fut.result()
+
+
 def detect_words(a, params: Optional[SwtParams] = None) -> List[Comp]:
     """ccv_swt_detect_words twin (ccv_swt.c:625), single scale by default."""
     from ccv_tpu.core.dense_matrix import as_array
@@ -476,17 +617,38 @@ def detect_words(a, params: Optional[SwtParams] = None) -> List[Comp]:
             pyr = phx
         else:
             pyr = phx
-        cc = classic.canny(pyr, params.size, params.low_thresh, params.high_thresh)
-        c = classic.close_outline(cc)
-        dx = basic.sobel(pyr, params.size, 0)
-        dy = basic.sobel(pyr, 0, params.size)
-        gray_np = np.asarray(pyr)
+        h_, w_ = pyr.shape
+        c_dev, dx_dev, dy_dev, cnt_dev, gray8 = _swt_frontend(
+            pyr, params.size, int(params.low_thresh + 0.5),
+            int(params.high_thresh + 0.5))
+        try:
+            cnt_dev.copy_to_host_async()
+        except Exception:  # noqa: BLE001 — backend without async copy
+            pass
+        # lane bucket from the last image of this shape: skips a device
+        # round-trip in steady state; an undershoot (edge count above the
+        # bucket) is detected from the count that rides back with the
+        # results and the ray pass is redone at the right size
+        hint = _COUNT_HINT.get((h_, w_))
+        n_rays = _bucket_for(hint, h_ * w_) if hint is not None else None
+        if n_rays is None:
+            n_rays = _bucket_for(int(cnt_dev), h_ * w_)
+        packed = _swt_rays_both(c_dev, dx_dev, dy_dev, n_rays, gray8=gray8)
+        try:
+            packed.copy_to_host_async()
+        except Exception:  # noqa: BLE001
+            pass
+        cnt = int(cnt_dev)
+        _COUNT_HINT[(h_, w_)] = cnt
+        if cnt > n_rays and n_rays < _ray_lanes(h_ * w_):
+            packed = _swt_rays_both(c_dev, dx_dev, dy_dev,
+                                    _bucket_for(cnt, h_ * w_), gray8=gray8)
+        arr = np.asarray(packed)
+        sm_np, gray_np = arr[:2], arr[2]
         textlines = []
-        for direction in (1, -1):  # DARK_TO_BRIGHT, BRIGHT_TO_DARK
-            smap = swt_map(c, dx, dy, direction)
-            labels = _connected_components(smap)
+        for d in range(2):  # DARK_TO_BRIGHT, BRIGHT_TO_DARK
             letters = _letters_from_components(
-                gray_np, np.asarray(smap), np.asarray(labels), params)
+                gray_np, sm_np[d], _cc_host(sm_np[d]), params)
             textlines += _merge_textline(letters, params)
         # group overlapping textlines, keep the widest per group
         if textlines:
