@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from functools import partial
 from typing import List, Optional
 
@@ -206,14 +207,9 @@ def _corner_idx(c: IcfCascade, sat_cols: int, channels: int,
     return ((ys * sat_cols + xs) * channels + ch).reshape(-1).astype(np.int32)
 
 
-def _tree_contrib(g, phase):
-    """Per-tree vote from gathered corner values g: (n, T*3*2*4) ->
-    (n, T). Flat 2-D shapes throughout (MXU-friendly, no tiny inner dims).
-    """
-    n = g.shape[0]
-    box = jnp.matmul(g.reshape(-1, 4), jnp.asarray(_SIGN4))
-    box = box.reshape(n, -1) * jnp.asarray(phase["alpha_flat"])
-    fval = box.reshape(n, -1, 3, 2).sum(-1) + jnp.asarray(phase["beta"])
+def _decide_fval(fval, phase):
+    """Depth-2 tree votes from node values fval (n, T, 3) -> (n, T)
+    (_ccv_icf_run_weak_classifier branch logic as branchless selects)."""
     c0 = fval[..., 0]
     c1 = fval[..., 1]
     c2 = fval[..., 2]
@@ -225,10 +221,29 @@ def _tree_contrib(g, phase):
     return jnp.where(r, jnp.asarray(phase["w1"]), jnp.asarray(phase["w0"]))
 
 
+def _tree_contrib(g, phase):
+    """Per-tree vote from gathered corner values g: (n, T*3*2*4) ->
+    (n, T). Flat 2-D shapes throughout (MXU-friendly, no tiny inner dims).
+    """
+    n = g.shape[0]
+    box = jnp.matmul(g.reshape(-1, 4), jnp.asarray(_SIGN4))
+    box = box.reshape(n, -1) * jnp.asarray(phase["alpha_flat"])
+    fval = box.reshape(n, -1, 3, 2).sum(-1) + jnp.asarray(phase["beta"])
+    return _decide_fval(fval, phase)
+
+
 def _phase_pass(g, phase, prior):
     """Soft-cascade block: returns (alive, csum_last) given the running sum
     `prior` ((n,) or scalar 0) entering this block."""
     contrib = _tree_contrib(g, phase)
+    csum = jnp.cumsum(contrib, axis=-1) + prior[..., None]
+    alive = jnp.all(csum >= jnp.asarray(phase["thresholds"]), axis=-1)
+    return alive, csum[:, -1]
+
+
+def _phase_pass_fval(fval, phase, prior):
+    """_phase_pass from already-computed node values (matmul path)."""
+    contrib = _decide_fval(fval, phase)
     csum = jnp.cumsum(contrib, axis=-1) + prior[..., None]
     alive = jnp.all(csum >= jnp.asarray(phase["thresholds"]), axis=-1)
     return alive, csum[:, -1]
@@ -331,6 +346,218 @@ def _prepare_tables(c: IcfCascade, sat_cols: int, channels: int):
     return idx, sign
 
 
+# ---------------------------------------------------------------------------
+# fused whole-octave path (the TPU-fast form)
+# ---------------------------------------------------------------------------
+#
+# On TPU, `jnp.take`-style gathers run ~30x below HBM bandwidth (measured:
+# the (1127, 1536) phase-A gather of the round-1 design cost 15 ms for
+# 1.7 M elements).  But the window grid is REGULAR, so corner accesses are
+# an im2col: decompose the SAT into step^2 phase planes (detectors/scd.py
+# pattern), extract the full per-window tile with th+tw unit-stride slices
+# per plane (zero gathers), and evaluate tree nodes as ONE MXU matmul
+# against a sparse-in-dense corner matrix whose entries are the +/-alpha
+# box-corner weights.  Tree node values are linear in the SAT corners, so
+# the whole cascade block is a single (nwin, K) @ (K, T*3) product.
+#
+# Staging: trees [0, _ICF_FUSED_CUT) run dense on EVERY window of every
+# level of an octave (the matmul is cheaper than any compaction at these
+# sizes), survivors top_k-compact ONCE across the whole octave, and the
+# remaining trees run on the K2 survivors by row-gathering their
+# already-built tiles.  bf16 MXU inputs are made safe by centering each
+# window tile on its (0,0) corner per channel (box sums are invariant:
+# every corner column of M sums to zero per channel); TPU_EXACT_BOX_SUMS=1
+# switches to f32 HIGHEST-precision matmuls instead.
+
+_ICF_FUSED_CUT = 320
+
+ICF_FUSED = os.environ.get("ICF_FUSED", "")  # "1"/"0" force; "" = auto
+
+
+def _use_fused() -> bool:
+    if ICF_FUSED in ("0", "1"):
+        return ICF_FUSED == "1"
+    return jax.default_backend() != "cpu"
+
+
+def _fused_mats(c: IcfCascade, step: int):
+    """Sparse corner-matrix triplets + decision tables, cached per step."""
+    cache = getattr(c, "_fused", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(c, "_fused", cache)
+    if step in cache:
+        return cache[step]
+    nch = 8 if c.grayscale else 10
+    th = c.height // step + 1
+    tw = c.width // step + 1
+    K = step * step * th * tw * nch
+    cut = min(_ICF_FUSED_CUT, c.n_weak)
+
+    def build(lo, hi):
+        rows, cols, vals = [], [], []
+        for t in range(lo, hi):
+            for f in range(3):
+                for b in range(2):
+                    a = float(c.alpha[t, f, b])
+                    if a == 0.0:
+                        continue
+                    ch = int(c.channel[t, f, b])
+                    x0 = int(c.sat0[t, f, b, 0])
+                    y0 = int(c.sat0[t, f, b, 1])
+                    x1 = int(c.sat1[t, f, b, 0]) + 1
+                    y1 = int(c.sat1[t, f, b, 1]) + 1
+                    col = (t - lo) * 3 + f
+                    for oy, ox, s in ((y0, x0, 1.0), (y0, x1, -1.0),
+                                      (y1, x0, -1.0), (y1, x1, 1.0)):
+                        lin = ((((oy % step) * step + ox % step) * th
+                                + oy // step) * tw + ox // step) * nch + ch
+                        rows.append(lin)
+                        cols.append(col)
+                        vals.append(s * a)
+        return (np.asarray(rows, np.int32), np.asarray(cols, np.int32),
+                np.asarray(vals, np.float32), (hi - lo) * 3)
+
+    def phase_dict(lo, hi):
+        return dict(
+            beta=c.beta[lo:hi].astype(np.float32),
+            has1=(c.pass_bits[lo:hi] & 2).astype(bool),
+            has2=(c.pass_bits[lo:hi] & 1).astype(bool),
+            w0=np.ascontiguousarray(c.weigh[lo:hi, 0].astype(np.float32)),
+            w1=np.ascontiguousarray(c.weigh[lo:hi, 1].astype(np.float32)),
+            thresholds=c.thresholds[lo:hi].astype(np.float32))
+
+    out = dict(K=K, th=th, tw=tw, nch=nch, cut=cut,
+               m1=build(0, cut), ph1=phase_dict(0, cut),
+               m2=build(cut, c.n_weak) if c.n_weak > cut else None,
+               ph2=phase_dict(cut, c.n_weak) if c.n_weak > cut else None,
+               dev={})
+    cache[step] = out
+    return out
+
+
+def _fused_dev_mats(c: IcfCascade, step: int, dtype):
+    """Device-resident corner matrices in the compute dtype (built by one
+    scatter-add — shipping the dense (K, T*3) f32 over the tunnel costs
+    seconds, the 48k triplets cost nothing)."""
+    tabs = _fused_mats(c, step)
+    key = jnp.dtype(dtype).name
+    dev = tabs["dev"].get(key)
+    if dev is None:
+        def densify(trip):
+            if trip is None:
+                return None
+            r, col, v, ncol = trip
+            m = jnp.zeros((tabs["K"], ncol), dtype)
+            return m.at[r, col].add(jnp.asarray(v).astype(dtype))
+        dev = (densify(tabs["m1"]), densify(tabs["m2"]))
+        tabs["dev"][key] = dev
+    return dev
+
+
+def _icf_im2col(sat, ny: int, nx: int, step: int, th: int, tw: int):
+    """Per-window tile matrix D (ny*nx, step^2*th*tw*C) from the SAT with
+    unit-stride slices only, centered on each window's (0,0) corner."""
+    C = sat.shape[2]
+    Hp, Wp = (ny + th) * step, (nx + tw) * step
+    s = jnp.pad(sat, ((0, max(0, Hp - sat.shape[0])),
+                      (0, max(0, Wp - sat.shape[1])), (0, 0)))[:Hp, :Wp]
+    planes = s.reshape(Hp // step, step, Wp // step, step, C)
+    planes = planes.transpose(1, 3, 0, 2, 4)
+    outs = []
+    for py in range(step):
+        for px in range(step):
+            p = planes[py, px]
+            rows = jnp.stack(
+                [jax.lax.slice_in_dim(p, oy2, oy2 + ny, axis=0)
+                 for oy2 in range(th)], axis=1)        # (ny, th, Ws, C)
+            tiles = jnp.stack(
+                [jax.lax.slice_in_dim(rows, ox2, ox2 + nx, axis=2)
+                 for ox2 in range(tw)], axis=3)        # (ny, th, nx, tw, C)
+            outs.append(tiles.transpose(0, 2, 1, 3, 4))
+    D = jnp.stack(outs, axis=2)                        # (ny, nx, p2, th, tw, C)
+    D = D - D[:, :, :1, :1, :1, :]
+    return D.reshape(ny * nx, step * step * th * tw * C)
+
+
+_ICF_OCTAVE_CACHE: dict = {}
+
+
+def _get_icf_octave_fn(casc: IcfCascade, src_shape, lvls, step: int,
+                       K2: int):
+    """ONE jitted program for every interval level of one octave:
+    resample -> channels -> SAT -> im2col -> dense matmul cascade block ->
+    octave-wide top_k compaction -> survivor block.  lvls: tuple of
+    (rows, cols, is_base, ny, nx)."""
+    key = (id(casc), src_shape, lvls, step, K2)
+    fn = _ICF_OCTAVE_CACHE.get(key)
+    if fn is not None:
+        return fn
+    from ccv_tpu.detectors.scd import TPU_EXACT_BOX_SUMS
+    ml, mt, mr, mb = casc.margin
+    gray = bool(casc.grayscale)
+    tabs = _fused_mats(casc, step)
+    th, tw, cut = tabs["th"], tabs["tw"], tabs["cut"]
+    ph1, ph2 = tabs["ph1"], tabs["ph2"]
+    on_tpu = jax.default_backend() != "cpu"
+    exact = TPU_EXACT_BOX_SUMS or not on_tpu
+    cdt = jnp.float32 if exact else jnp.bfloat16
+    prec = jax.lax.Precision.HIGHEST if (exact and on_tpu) else None
+    ntot = sum(ny * nx for (_, _, _, ny, nx) in lvls)
+
+    # m1/m2 are jit ARGUMENTS, not closures: closed-over device arrays are
+    # embedded as HLO literals, which would ship the (K, T*3) matrices with
+    # every compile request
+    def octave(src, m1, m2):
+        ds = []
+        for rows, cols, is_base, ny, nx in lvls:
+            image = src if is_base else resample.resample(
+                src, rows=rows, cols=cols, rows_scale=rows / src.shape[0],
+                cols_scale=cols / src.shape[1], interp=resample.INTER_AREA)
+            if gray and image.shape[-1] == 3:
+                image = _gray_u8_graph(image)[..., None]
+            image = jnp.pad(image, [(mt, mb), (ml, mr), (0, 0)])
+            chans = icf_channels(image[..., 0] if gray else image)
+            sat = algebra.sat(chans, padding=algebra.PADDING_ZERO)
+            sat = sat.astype(jnp.float32)
+            ds.append(_icf_im2col(sat, ny, nx, step, th, tw).astype(cdt))
+        D = jnp.concatenate(ds, axis=0) if len(ds) > 1 else ds[0]
+        fval = jnp.matmul(D, m1, preferred_element_type=jnp.float32,
+                          precision=prec)
+        fval = fval.reshape(ntot, cut, 3) + jnp.asarray(ph1["beta"])
+        alive, conf1 = _phase_pass_fval(
+            fval, ph1, jnp.zeros((ntot,), jnp.float32))
+        count = jnp.sum(alive, dtype=jnp.int32)
+        zero = jnp.zeros((), jnp.int32)
+        if ph2 is None:
+            rows_out = jnp.stack(
+                [jnp.arange(ntot, dtype=jnp.float32),
+                 alive.astype(jnp.float32), conf1], axis=1)
+            return rows_out, jnp.stack([count, zero])
+        score = jnp.where(alive, conf1, -jnp.inf)
+        _, sidx = jax.lax.top_k(score, K2)
+        sidx = sidx.astype(jnp.int32)
+        valid = jnp.take(alive, sidx)
+        D2 = jnp.take(D, sidx, axis=0)
+        fval2 = jnp.matmul(D2, m2, preferred_element_type=jnp.float32,
+                           precision=prec)
+        fval2 = fval2.reshape(K2, -1, 3) + jnp.asarray(ph2["beta"])
+        alive2, conf2 = _phase_pass_fval(fval2, ph2, jnp.take(conf1, sidx))
+        passed = alive2 & valid
+        rows_out = jnp.stack([sidx.astype(jnp.float32),
+                              passed.astype(jnp.float32), conf2], axis=1)
+        return rows_out, jnp.stack([count, zero])
+
+    jitted = jax.jit(octave)
+
+    def fn(src):
+        m1, m2 = _fused_dev_mats(casc, step, cdt)
+        return jitted(src, m1, m2)
+
+    _ICF_OCTAVE_CACHE[key] = fn
+    return fn
+
+
 _ICF_LEVEL_CACHE: dict = {}
 _sample_down_jit = jax.jit(lambda a: resample.sample_down(a))
 
@@ -430,12 +657,14 @@ def detect_async(a, cascades, params: Optional[IcfParams] = None):
         pyr.append(_sample_down_jit(pyr[-1]))
     scale_ratio = 2.0 ** (1.0 / (params.interval + 1))
     step = params.step_through
+    fused = _use_fused()
     specs = []
     pieces = []
     for octave, level in enumerate(pyr):
         for ci, casc in enumerate(cascades):
             ml, mt, mr, mb = casc.margin
             scale = 1.0
+            lvls = []
             for k in range(params.interval + 1):
                 rows = int(level.shape[0] / scale + 0.5)
                 cols = int(level.shape[1] / scale + 0.5)
@@ -448,15 +677,32 @@ def detect_async(a, cascades, params: Optional[IcfParams] = None):
                 if ny == 0 or nx == 0:
                     scale *= scale_ratio
                     continue
+                lvls.append((k, scale, rows, cols, ny, nx))
+                scale *= scale_ratio
+            if not lvls:
+                continue
+            if fused:
+                ntot = sum(ny * nx for (_, _, _, _, ny, nx) in lvls)
+                K2 = (ntot if casc.n_weak <= _ICF_FUSED_CUT
+                      else min(ntot, max(64, ntot // 256)))
+                fn = _get_icf_octave_fn(
+                    casc, tuple(level.shape),
+                    tuple((rows, cols, k == 0, ny, nx)
+                          for (k, _, rows, cols, ny, nx) in lvls),
+                    step, K2)
+                rows_out, counts = fn(level)
+                pieces.append((rows_out, counts))
+                specs.append(("fused", ci, octave, tuple(lvls), K2, ntot))
+                continue
+            for (k, scale, rows, cols, ny, nx) in lvls:
                 K1 = _icf_capacity1(ny * nx)
                 K2 = _icf_capacity2(ny * nx)
                 fn = _get_icf_level_fn(casc, tuple(level.shape), rows, cols,
                                        k == 0, step, ny, nx, K1, K2)
                 rows_out, counts = fn(level)
                 pieces.append((rows_out, counts))
-                specs.append((ci, octave, k, scale, rows, cols, ny, nx,
-                              K1, K2))
-                scale *= scale_ratio
+                specs.append(("level", ci, octave, k, scale, rows, cols,
+                              ny, nx, K1, K2))
     packed = _icf_pack(pieces) if pieces else None
     if packed is not None:
         try:
@@ -471,10 +717,34 @@ def detect_collect(handle) -> List[Comp]:
     (packed, specs, pyr, cascades, params, single) = handle
     comps_all: List[List[Comp]] = [[] for _ in cascades]
     step = params.step_through
+
+    def emit(ci, casc, octave, scale, wy, wx, confidence):
+        ml, mt, mr, mb = casc.margin
+        sc = scale * (1 << octave)
+        comps_all[ci].append(Comp(
+            x=int((wx * step + 0.5) * sc - 0.5),
+            y=int((wy * step + 0.5) * sc - 0.5),
+            width=int((casc.width - ml - mr) * sc),
+            height=int((casc.height - mt - mb) * sc),
+            confidence=confidence, classification_id=ci + 1))
+
+    def level_full(casc, octave, k, rows, cols, ny, nx):
+        # full-capacity per-level rerun (compaction overflow: the
+        # open-threshold parity tests hit this on every level)
+        fn = _get_icf_level_fn(casc, tuple(pyr[octave].shape), rows, cols,
+                               k == 0, step, ny, nx, K1=ny * nx, K2=ny * nx)
+        rows_out, _ = jax.device_get(fn(pyr[octave]))
+        return (rows_out[:, 0].astype(np.int32), rows_out[:, 1] != 0.0,
+                rows_out[:, 2])
+
     if packed is not None:
         arr = np.asarray(packed)
         lens = []
-        for (ci, octave, k, scale, rows, cols, ny, nx, K1, K2) in specs:
+        for spec in specs:
+            if spec[0] == "fused":
+                lens.append(spec[4])
+                continue
+            (_, ci, octave, k, scale, rows, cols, ny, nx, K1, K2) = spec
             tabs = _staged_tables(cascades[ci])
             if tabs["phases"][1] is None:
                 lens.append(ny * nx)
@@ -485,37 +755,46 @@ def detect_collect(handle) -> List[Comp]:
         counts = arr[sum(lens):, :2]
         offs = np.concatenate([[0], np.cumsum(lens)])
         for li, spec in enumerate(specs):
-            (ci, octave, k, scale, rows, cols, ny, nx, K1, K2) = spec
-            casc = cascades[ci]
             rows_out = arr[offs[li]:offs[li + 1]]
             idx = rows_out[:, 0].astype(np.int32)
             passed = rows_out[:, 1] != 0.0
             conf = rows_out[:, 2]
+            if spec[0] == "fused":
+                (_, ci, octave, lvls, K2, ntot) = spec
+                casc = cascades[ci]
+                if int(counts[li][0]) > K2:
+                    # octave-wide compaction overflow: rerun each level at
+                    # full capacity through the reference staged path
+                    for (k, scale, rows, cols, ny, nx) in lvls:
+                        fidx, fpassed, fconf = level_full(
+                            casc, octave, k, rows, cols, ny, nx)
+                        for j in np.nonzero(fpassed)[0]:
+                            wy, wx = divmod(int(fidx[j]), nx)
+                            emit(ci, casc, octave, scale, wy, wx,
+                                 float(fconf[j]))
+                    continue
+                if not passed.any():
+                    continue
+                bounds = np.cumsum(
+                    [0] + [ny * nx for (_, _, _, _, ny, nx) in lvls])
+                for j in np.nonzero(passed)[0]:
+                    g = int(idx[j])
+                    lv = int(np.searchsorted(bounds, g, side="right")) - 1
+                    (k, scale, rows, cols, ny, nx) = lvls[lv]
+                    wy, wx = divmod(g - int(bounds[lv]), nx)
+                    emit(ci, casc, octave, scale, wy, wx, float(conf[j]))
+                continue
+            (_, ci, octave, k, scale, rows, cols, ny, nx, K1, K2) = spec
+            casc = cascades[ci]
             c_a, c_b1 = int(counts[li][0]), int(counts[li][1])
             if c_a > K1 or c_b1 > K2:
-                # compaction overflow (the open-threshold parity tests hit
-                # this on every level): rerun this level at full capacity
-                fn = _get_icf_level_fn(casc, tuple(pyr[octave].shape),
-                                       rows, cols, k == 0, step, ny, nx,
-                                       K1=ny * nx, K2=ny * nx)
-                rows_out, _ = jax.device_get(fn(pyr[octave]))
-                idx = rows_out[:, 0].astype(np.int32)
-                passed = rows_out[:, 1] != 0.0
-                conf = rows_out[:, 2]
+                idx, passed, conf = level_full(
+                    casc, octave, k, rows, cols, ny, nx)
             if not passed.any():
                 continue
-            ml, mt, mr, mb = casc.margin
-            eff_w = casc.width - ml - mr
-            eff_h = casc.height - mt - mb
-            sc = scale * (1 << octave)
             for j in np.nonzero(passed)[0]:
                 wy, wx = divmod(int(idx[j]), nx)
-                comps_all[ci].append(Comp(
-                    x=int((wx * step + 0.5) * sc - 0.5),
-                    y=int((wy * step + 0.5) * sc - 0.5),
-                    width=int(eff_w * sc), height=int(eff_h * sc),
-                    confidence=float(conf[j]),
-                    classification_id=ci + 1))
+                emit(ci, casc, octave, scale, wy, wx, float(conf[j]))
     return _group_and_filter(comps_all, params)
 
 
