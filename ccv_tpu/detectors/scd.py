@@ -285,7 +285,7 @@ def _surf_from_D(D, phase):
     # one (F*4, nd) @ (nd, n*8) matmul — XLA lowers the equivalent einsum
     # 'fd,ndc->nfc' to a much slower batched form
     Dt = D.transpose(1, 0, 2).reshape(nd, n * 8)
-    if TPU_EXACT_BOX_SUMS and jax.default_backend() == "tpu":
+    if TPU_EXACT_BOX_SUMS and jax.default_backend() != "cpu":
         # see TPU_EXACT_BOX_SUMS: exact-invariant centering (row 0 is
         # corner 0 for every (window, channel) column; every corner row
         # of M sums to zero) keeps the bf16 MXU matmul from cancelling

@@ -413,7 +413,7 @@ class ScaledDotProductAttention(Layer):
         v = v.reshape(B, T, self.heads, self.dim)
         from ccv_tpu.utils import flags as _flags
 
-        if (jax.default_backend() == "tpu" and T >= 1024
+        if (jax.default_backend() != "cpu" and T >= 1024
                 and not _flags.is_set(_flags.DISABLE_PALLAS_FLASH_ATTENTION)):
             # long sequences: the Pallas flash kernel (scores never hit HBM)
             from ccv_tpu.ops.pallas import flash_attention
