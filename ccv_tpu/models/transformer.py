@@ -50,6 +50,9 @@ class TransformerConfig:
     max_len: int = 128
     dropout: float = 0.1
     dtype: Any = jnp.bfloat16
+    # rematerialize each block's activations in the backward pass
+    # (ccv_cnnp_model_gradient_checkpointing.c's role, as jax.checkpoint)
+    remat: bool = False
 
     @property
     def dim(self) -> int:
@@ -160,11 +163,29 @@ def _dropout(x, rate, key, train):
 def _use_flash(mask, dropout, train) -> bool:
     # the kernel pads T/D itself; it can't apply an arbitrary key mask or
     # attention-weight dropout, so those fall back to the XLA path
-    return (mask is None and jax.default_backend() == "tpu"
+    return (mask is None and jax.default_backend() != "cpu"
             and (not train or dropout <= 0.0))
 
 
-def _attend(q, k, v, heads: int, causal: bool, mask, dropout, key, train):
+@dataclasses.dataclass(frozen=True)
+class RingSpec:
+    """Sequence-parallel attention config: when set on a forward call the
+    self-attention runs as ring attention over `seq_axis` of `mesh`,
+    composing with GSPMD dp/tp shardings on `batch_axis`/`head_axis`
+    (parallel/sequence.py; new design per SURVEY §5.7)."""
+    mesh: Any
+    seq_axis: str = "seq"
+    batch_axis: Optional[str] = None
+    head_axis: Optional[str] = None
+
+    # static hashability for jax.checkpoint static_argnums: identity is
+    # fine, the spec is constructed once per training program
+    def __hash__(self):
+        return id(self)
+
+
+def _attend(q, k, v, heads: int, causal: bool, mask, dropout, key, train,
+            ring: Optional[RingSpec] = None):
     """(B, T, D) x3 -> (B, T, D) multi-head attention.
 
     mask: (B, Tk) True=valid (the reference's per-sequence length masks,
@@ -177,6 +198,14 @@ def _attend(q, k, v, heads: int, causal: bool, mask, dropout, key, train):
     qh = q.reshape(B, Tq, heads, hd)
     kh = k.reshape(B, Tk, heads, hd)
     vh = v.reshape(B, Tk, heads, hd)
+    if ring is not None and mask is None and Tq == Tk:
+        from ccv_tpu.parallel import sequence as seqp
+        out = seqp.ring_attention(qh, kh, vh, ring.mesh,
+                                  seq_axis=ring.seq_axis, scale=scale,
+                                  is_causal=causal,
+                                  batch_axis=ring.batch_axis,
+                                  head_axis=ring.head_axis)
+        return out.reshape(B, Tq, D)
     if _use_flash(mask, dropout, train) and Tq == Tk:
         from ccv_tpu.ops.pallas import flash_attention
         out = flash_attention(qh, kh, vh, scale=scale, is_causal=causal)
@@ -194,7 +223,7 @@ def _attend(q, k, v, heads: int, causal: bool, mask, dropout, key, train):
     return out.reshape(B, Tq, D)
 
 
-def _mha(p, x, mem, cfg, causal, mask, key, train, prefix=""):
+def _mha(p, x, mem, cfg, causal, mask, key, train, prefix="", ring=None):
     dt = cfg.dtype
     wq, wk, wv, wo = (p[prefix + n].astype(dt) for n in ("wq", "wk", "wv", "wo"))
     bq, bk, bv = (p[prefix + n].astype(dt) for n in ("bq", "bk", "bv"))
@@ -202,7 +231,8 @@ def _mha(p, x, mem, cfg, causal, mask, key, train, prefix=""):
     q = x @ wq + bq
     k = src @ wk + bk
     v = src @ wv + bv
-    o = _attend(q, k, v, cfg.heads, causal, mask, cfg.dropout, key, train)
+    o = _attend(q, k, v, cfg.heads, causal, mask, cfg.dropout, key, train,
+                ring=ring)
     return o @ wo
 
 
@@ -212,12 +242,12 @@ def _ffn(p, x, cfg):
     return h @ p["w2"].astype(dt) + p["b2"].astype(dt)
 
 
-def _encoder_block(p, x, cfg, mask, key, train, causal=False):
+def _encoder_block(p, x, cfg, mask, key, train, causal=False, ring=None):
     """wmt.c:181-199 `_encoder_block_new`: x + LN(attn(x)), then
     first + LN(ffn(.)) — layer norm inside the residual branch."""
     k1, k2, k3 = (jax.random.split(key, 3) if key is not None
                   else (None, None, None))
-    a = _mha(p, x, None, cfg, causal, mask, k1, train)
+    a = _mha(p, x, None, cfg, causal, mask, k1, train, ring=ring)
     first = x + _layer_norm(a, p["ln1"])
     out = _dropout(first, cfg.dropout, k2, train)
     out = _ffn(p, out, cfg)
@@ -289,16 +319,24 @@ def encoder_classifier_forward(params, cfg: TransformerConfig, src,
 
 
 def lm_forward(params, cfg: TransformerConfig, ids,
-               train: bool = False, key=None):
-    """Decoder-only LM: (B,T) int32 -> (B,T,vocab) float32 logits."""
+               train: bool = False, key=None,
+               ring: Optional[RingSpec] = None):
+    """Decoder-only LM: (B,T) int32 -> (B,T,vocab) float32 logits.
+
+    ring: optional RingSpec — self-attention runs sequence-parallel over
+    the given mesh axis (composes with GSPMD dp/tp shardings)."""
     dt = cfg.dtype
     nk = cfg.layers + 1
     keys = (list(jax.random.split(key, nk)) if key is not None
             else [None] * nk)
     x = _embed(params["src_embed"], ids, cfg, dt)
     x = _dropout(x, cfg.dropout, keys[-1], train)
+    block = _encoder_block
+    if cfg.remat:
+        block = jax.checkpoint(_encoder_block,
+                               static_argnums=(2, 5, 6, 7))
     for i, blk in enumerate(params["encoder"]):
-        x = _encoder_block(blk, x, cfg, None, keys[i], train, causal=True)
+        x = block(blk, x, cfg, None, keys[i], train, True, ring)
     return (x @ params["out"].astype(dt)).astype(jnp.float32)
 
 

@@ -85,13 +85,20 @@ def _ring_attention_shard(q, k, v, *, axis_name: str, axis_size: int,
 
 
 def ring_attention(q, k, v, mesh: Mesh, seq_axis: str = "seq",
-                   scale: Optional[float] = None, is_causal: bool = False):
+                   scale: Optional[float] = None, is_causal: bool = False,
+                   batch_axis: Optional[str] = None,
+                   head_axis: Optional[str] = None):
     """Sequence-parallel scaled-dot-product attention.
 
     q, k, v: (B, T, H, D) global arrays (or already sharded on T over
     `seq_axis`). T must divide evenly by the axis size. Each device
     computes its q shard against the full sequence by circulating k/v
     shards around the ring — peak per-device memory is O(T/n).
+
+    batch_axis / head_axis optionally shard B / H over additional mesh
+    axes (data and tensor parallelism composed with the ring): the shard
+    body is per-device local compute + ppermute over `seq_axis` only, so
+    extra sharded axes just shrink the local block.
     """
     try:
         from jax import shard_map
@@ -103,7 +110,7 @@ def ring_attention(q, k, v, mesh: Mesh, seq_axis: str = "seq",
     t_total = q.shape[1]
     n = mesh.shape[seq_axis]
     assert t_total % n == 0, (t_total, n)
-    spec = P(None, seq_axis, None, None)
+    spec = P(batch_axis, seq_axis, head_axis, None)
     fn = shard_map(
         functools.partial(_ring_attention_shard, axis_name=seq_axis,
                           axis_size=int(n), scale=float(scale),
