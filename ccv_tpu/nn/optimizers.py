@@ -67,13 +67,19 @@ class AdamState(NamedTuple):
 
 def _adam_family(rate, scale, decay, beta1, beta2, epsilon, amsgrad,
                  decoupled: bool, kind: str):
+    base_rate = rate
+
     def init(params):
         return AdamState(jnp.zeros((), jnp.int32),
                          tmap(jnp.zeros_like, params),
                          tmap(jnp.zeros_like, params),
                          tmap(jnp.zeros_like, params))
 
-    def update(grads, state, params):
+    def update(grads, state, params, rate=None):
+        # optional per-call learning rate (traced scalar OK): the twin of
+        # the reference's per-step ccv_cnnp_model_set_minimizer re-config
+        # (bin/nnc/iwslt.c:776) without retracing the step
+        rate = base_rate if rate is None else rate
         step = state.step + 1
         b1t = 1.0 - beta1 ** step.astype(jnp.float32)
         b2t = 1.0 - beta2 ** step.astype(jnp.float32)
