@@ -45,6 +45,19 @@ if _platform_tag not in ("cpu",):
     except Exception:  # pragma: no cover - cache is best-effort
         pass
 
+# Honor an explicit JAX_PLATFORMS=cpu (etc.) even when a site plugin
+# re-registered accelerator backends with its own jax_platforms value at
+# interpreter start (the tunneled-TPU sitecustomize does): the env var is
+# JAX's documented contract, and CI / bin-tool smoke runs rely on it to
+# stay off the accelerator. Accelerator selections are left to the plugin.
+_env_platforms = _os.environ.get("JAX_PLATFORMS")
+if _env_platforms and all(
+        p.strip() in ("cpu",) for p in _env_platforms.split(",")):
+    try:
+        _jax.config.update("jax_platforms", _env_platforms)
+    except Exception:  # pragma: no cover
+        pass
+
 from ccv_tpu.core.dense_matrix import DenseMatrix, from_numpy, to_numpy
 from ccv_tpu.core import cache
 from ccv_tpu.core.io import read, write

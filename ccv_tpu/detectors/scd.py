@@ -309,7 +309,7 @@ def _surf_from_D(D, phase):
 
 def _eval_level(sat8, phase_a, phase_b1, phase_b2, all_off, last_count,
                 n_stages: int, ny: int, nx: int, step: int, K1: int,
-                K2: int):
+                K2: int, phase_a_impl=None):
     """Evaluate one pyramid level as a STAGED cascade (up to three phases).
 
     The reference's per-window early exit (ccv_scd.c:1719-1768) becomes:
@@ -325,10 +325,14 @@ def _eval_level(sat8, phase_a, phase_b1, phase_b2, all_off, last_count,
     """
     planes, th, tw = _phase_planes(sat8, ny, nx, int(all_off[:, 0].max()),
                                    int(all_off[:, 1].max()), step)
-    # phase A covers the full window grid -> dense unit-stride slices
-    D_a = _grid_corner_slices(planes, phase_a["offsets"], ny, nx, step)
-    v_a, pass_a = _surf_from_D(D_a, phase_a)
-    v_last = v_a[:, -1]
+    if phase_a_impl is not None:
+        # autotuned alternative form (the Pallas VPU kernel)
+        v_last, pass_a = phase_a_impl(sat8)
+    else:
+        # phase A covers the full window grid -> dense unit-stride slices
+        D_a = _grid_corner_slices(planes, phase_a["offsets"], ny, nx, step)
+        v_a, pass_a = _surf_from_D(D_a, phase_a)
+        v_last = v_a[:, -1]
     zero = jnp.zeros((), jnp.int32)
     if phase_b1 is None:
         # tiny cascade: single phase, "compaction" is just the pass mask
@@ -490,14 +494,48 @@ def _tiled_phase(tabs, name: str, step: int):
 
 def _make_level_body(src_shape, rows: int, cols: int, ny: int, nx: int,
                      is_base: bool, cascade: ScdClassifierCascade,
-                     step: int, tabs, K1: int, K2: int):
+                     step: int, tabs, K1: int, K2: int,
+                     force_phase_a: Optional[str] = None):
     """Traceable body for one pyramid level: (optional INTER_AREA resample)
-    -> margin pad -> scd_map -> SAT -> staged cascade eval."""
+    -> margin pad -> scd_map -> SAT -> staged cascade eval.
+
+    In exact mode (TPU_EXACT_BOX_SUMS) the phase-A form — centered-XLA
+    matmul vs the Pallas VPU kernel — is a MEASURED per-geometry decision
+    (nn/autotune, the ccv_nnc_cmd_autotune analog, cmd.c:344-577),
+    benchmarked in context as the whole level program rather than the
+    kernel standalone (a standalone win was observed to invert once
+    fusion opportunities around it were lost)."""
     margin = cascade.margin
     n_stages = cascade.n_stages
     phase_a = tabs["phase_a"]
     phase_b1 = _tiled_phase(tabs, "phase_b1", step)
     phase_b2 = _tiled_phase(tabs, "phase_b2", step)
+
+    if (force_phase_a is None and TPU_EXACT_BOX_SUMS
+            and jax.default_backend() != "cpu"):
+        from ccv_tpu.nn import autotune
+        variants = {
+            name: _make_level_body(src_shape, rows, cols, ny, nx, is_base,
+                                   cascade, step, tabs, K1, K2,
+                                   force_phase_a=name)
+            for name in ("xla", "pallas")
+        }
+        args = (jnp.zeros(src_shape, jnp.float32),
+                jnp.zeros((), jnp.float32))
+        return autotune.choose(
+            "scd_level_exact", variants, args, default="xla",
+            extra=f"{rows}x{cols}g{ny}x{nx}s{step}k{K1},{K2}"
+                  f"n{len(cascade.stage_counts)}")
+
+    phase_a_impl = None
+    if force_phase_a == "pallas":
+        from ccv_tpu.ops.pallas import scd_phase
+        all_off = tabs["all_off"]
+        _th = int(all_off[:, 0].max()) // step + 1
+        _tw = int(all_off[:, 1].max()) // step + 1
+
+        def phase_a_impl(sat8):
+            return scd_phase.phase_a(sat8, phase_a, step, ny, nx, _th, _tw)
 
     def level(src, last_count):
         image = src if is_base else resample.resample(
@@ -513,7 +551,8 @@ def _make_level_body(src_shape, rows: int, cols: int, ny: int, nx: int,
                                padding=algebra.PADDING_ZERO)
         return _eval_level(sat8, phase_a, phase_b1, phase_b2,
                            tabs["all_off"], last_count, n_stages,
-                           ny=ny, nx=nx, step=step, K1=K1, K2=K2)
+                           ny=ny, nx=nx, step=step, K1=K1, K2=K2,
+                           phase_a_impl=phase_a_impl)
 
     return level
 

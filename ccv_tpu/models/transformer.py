@@ -207,9 +207,27 @@ def _attend(q, k, v, heads: int, causal: bool, mask, dropout, key, train,
                                   head_axis=ring.head_axis)
         return out.reshape(B, Tq, D)
     if _use_flash(mask, dropout, train) and Tq == Tk:
+        # measured Pallas-vs-XLA choice per shape (autotune, the
+        # ccv_nnc_cmd_autotune analog); default = the Pallas kernel,
+        # which the decision cache overrides where XLA measured faster
+        from ccv_tpu.nn import autotune
         from ccv_tpu.ops.pallas import flash_attention
-        out = flash_attention(qh, kh, vh, scale=scale, is_causal=causal)
-        return out.reshape(B, Tq, D)
+
+        fn = autotune.choose(
+            "sdpa",
+            {"pallas": lambda q_, k_, v_: flash_attention(
+                q_, k_, v_, scale=scale, is_causal=causal),
+             "xla": lambda q_, k_, v_: _sdpa_xla(
+                 q_, k_, v_, scale, causal, None, 0.0, None, False)},
+            (qh, kh, vh), default="pallas", extra=f"causal={causal}")
+        return fn(qh, kh, vh).reshape(B, Tq, D)
+    out = _sdpa_xla(qh, kh, vh, scale, causal, mask, dropout, key, train)
+    return out.reshape(B, Tq, D)
+
+
+def _sdpa_xla(qh, kh, vh, scale, causal, mask, dropout, key, train):
+    """Plain-XLA SDPA on (B, T, h, d) heads-split tensors."""
+    Tq, Tk = qh.shape[1], kh.shape[1]
     logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
                         preferred_element_type=jnp.float32) * scale
     if mask is not None:
@@ -219,8 +237,7 @@ def _attend(q, k, v, heads: int, causal: bool, mask, dropout, key, train,
         logits = jnp.where(cm[None, None], logits, -1e9)
     w = jax.nn.softmax(logits, axis=-1)
     w = _dropout(w, dropout, key, train)
-    out = jnp.einsum("bhqk,bkhd->bqhd", w.astype(vh.dtype), vh)
-    return out.reshape(B, Tq, D)
+    return jnp.einsum("bhqk,bkhd->bqhd", w.astype(vh.dtype), vh)
 
 
 def _mha(p, x, mem, cfg, causal, mask, key, train, prefix="", ring=None):
