@@ -12,7 +12,9 @@ def test_detect_batch_matches_single():
     DATA = os.path.join(os.path.dirname(__file__), "data")
     crop = read(os.path.join(DATA, "crop180.png"), IO_RGB_COLOR)
     casc = scd.load_cascade(os.path.join(DATA, "face_low.sqlite3"))
-    p = scd.ScdParams(min_neighbors=0, interval=1)
+    # interval=0 halves the pyramid levels: the batch==single property is
+    # per-level, so the tier gate doesn't need the denser pyramid
+    p = scd.ScdParams(min_neighbors=0, interval=0)
     single = scd.detect(crop.array, casc, p)
     imgs = np.stack([crop.numpy(), np.flip(crop.numpy(), axis=1)])
     batch = scd.detect_batch(imgs, casc, p)

@@ -15,7 +15,9 @@ from ccv_tpu.parallel.sequence import ring_attention
 @pytest.mark.parametrize("causal", [
     False, pytest.param(True, marks=pytest.mark.slow)])
 def test_ring_attention_matches_sdpa(causal):
-    devices = np.array(jax.devices()[:8])
+    # 4-way ring: the 8-way compile costs 2x on the 1-core tier and the
+    # 8-device composition is covered by dryrun_multichip + composed tests
+    devices = np.array(jax.devices()[:4])
     mesh = Mesh(devices, ("seq",))
     rng = np.random.default_rng(0)
     B, T, H, D = 2, 64, 2, 16
@@ -39,7 +41,7 @@ def test_two_meshes_same_axis_name_different_sizes():
     k = rng.standard_normal((B, T, H, D), np.float32)
     v = rng.standard_normal((B, T, H, D), np.float32)
     ref = np.asarray(ops.scaled_dot_product_attention(q, k, v))
-    for n in (8, 4, 2):  # interleave sizes under the SAME axis name
+    for n in (4, 2):  # interleave sizes under the SAME axis name
         mesh = Mesh(np.array(jax.devices()[:n]), ("seq",))
         out = np.asarray(ring_attention(jnp.asarray(q), jnp.asarray(k),
                                         jnp.asarray(v), mesh, "seq"))

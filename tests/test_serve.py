@@ -66,8 +66,10 @@ def test_serve_tld_and_convnet():
         from ccv_tpu.core.io import read, write, IO_GRAY
 
         img = read("/root/reference/samples/street.png", IO_GRAY).numpy()
-        crop0 = img[100:260, 380:540]
-        crop1 = img[103:263, 383:543]  # shifted content
+        # small crops: this gates the HTTP plumbing; tracking quality has
+        # its own (larger) gate in test_tld.py
+        crop0 = img[100:220, 400:520]
+        crop1 = img[103:223, 403:523]  # shifted content
         import tempfile
 
         def png_bytes(a):
@@ -83,7 +85,7 @@ def test_serve_tld_and_convnet():
 
         body, ctype = _multipart({
             "previous": png_bytes(crop0), "source": png_bytes(crop1),
-            "x": "50", "y": "40", "width": "48", "height": "80"})
+            "x": "40", "y": "30", "width": "40", "height": "60"})
         req = urllib.request.Request(
             f"http://127.0.0.1:{port}/tld/track.object", data=body,
             headers={"Content-Type": ctype}, method="POST")
@@ -91,7 +93,7 @@ def test_serve_tld_and_convnet():
             out = json.loads(r.read())
         assert out.get("found"), out
         # the content shifted by (-3, -3)
-        assert abs(out["x"] - 47) <= 3 and abs(out["y"] - 37) <= 3, out
+        assert abs(out["x"] - 37) <= 3 and abs(out["y"] - 27) <= 3, out
 
         # /convnet/classify with a missing model reports a clean error
         body, ctype = _multipart({"source": png_bytes(crop0),

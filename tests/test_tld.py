@@ -71,9 +71,9 @@ def test_tld_tracks_shift_small_frames():
     from ccv_tpu.detectors import tld
 
     img = np.asarray(read("/root/reference/samples/street.png",
-                          IO_GRAY).numpy())[100:280, 380:560]
-    box0 = (50, 40, 48, 90)
-    shifts = [(0, 0), (3, 2), (6, 4)]
+                          IO_GRAY).numpy())[100:260, 390:550]
+    box0 = (40, 40, 48, 80)
+    shifts = [(0, 0), (3, 2)]
     H, W = img.shape[0] - 8, img.shape[1] - 8
     seq = [img[dy:dy + H, dx:dx + W] for dx, dy in shifts]
     t = tld.Tld(seq[0], box0, seed=7)

@@ -36,8 +36,8 @@ def trained(tmp_path_factory):
         bgimgs.append(img)
     params = train_dpm.DpmTrainParams(
         components=1, parts=4, min_area=1200, max_area=2500,
-        symmetric=True, relabels=1, data_minings=1, iterations=8,
-        negative_cache_size=24, include_overlap=0.6,
+        symmetric=True, relabels=1, data_minings=1, iterations=6,
+        negative_cache_size=20, include_overlap=0.6,
         detector=train_dpm.DpmParams(interval=2, threshold=0.0), seed=3)
     workdir = str(tmp_path_factory.mktemp("dpmmodel"))
     model = train_dpm.mixture_model_new(

@@ -32,10 +32,10 @@ def trained():
     size = (24, 24)
     params = train_scd.ScdTrainParams(
         size=size, boosting=2, maximum_feature=6, prune_stage=1,
-        prune_feature=4, train_steps=120, hit_rate=0.98,
+        prune_feature=4, train_steps=90, hit_rate=0.98,
         accu_false_positive_rate=1e-6)
-    pos = _make_patches(80, size, rng, True)
-    neg = _make_patches(200, size, rng, False)
+    pos = _make_patches(64, size, rng, True)
+    neg = _make_patches(150, size, rng, False)
     cascade = train_scd.train_cascade(pos, neg, params)
     return cascade, params, rng
 
