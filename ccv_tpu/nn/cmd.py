@@ -104,8 +104,34 @@ for _short, _fn, _diff in [
     ("SCALED_DOT_PRODUCT_ATTENTION",
      ops.scaled_dot_product_attention, True),
     ("LSTM", ops.lstm, True),
+    ("TRANSPOSE", ops.transpose, True),
+    ("DATA_TRANSFER", ops.data_transfer, True),
 ]:
     _register(_short, _fn, differentiable=_diff)
+
+# optimizer update commands (cmd/sgd, cmd/adam, cmd/lamb, cmd/rmsprop):
+# functional per-tensor steps, formulas verbatim from the cpu_ref kernels
+from ccv_tpu.nn import optimizers as _opt  # noqa: E402
+
+for _short, _fn in [("SGD", _opt.sgd_step), ("ADAM", _opt.adam_step),
+                    ("ADAMW", _opt.adamw_step), ("LAMB", _opt.lamb_step),
+                    ("RMSPROP", _opt.rmsprop_step)]:
+    _register(_short, _fn, differentiable=False)
+
+# collective commands (cmd/comm/ccv_nnc_comm.c:97+): shard_map-body
+# collectives; autodiff through psum is native to jax (allreduce backward
+# = allreduce, matching comm.c's bitmask registration)
+from ccv_tpu.parallel import mesh as _mesh  # noqa: E402
+
+_register("COMM_ALLREDUCE", _mesh.comm_allreduce)
+_register("COMM_BROADCAST", _mesh.comm_broadcast)
+_register("COMM_REDUCE", _mesh.comm_reduce)
+
+# activation compression (cmd/compression/): LSSC 4x4 block codec
+from ccv_tpu.nn import compression as _compression  # noqa: E402
+
+_register("COMPRESSION_LSSC", _compression.lssc_compress,
+          differentiable=False)
 
 _register("NOOP", lambda *a: a[0] if len(a) == 1 else a,
           attrs=CMD_ATTR_PASSTHROUGH)

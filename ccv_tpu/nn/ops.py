@@ -409,8 +409,20 @@ def reduce_isnan(x, axis, keepdims=True):
 # ---------------------------------------------------------------------------
 
 def format_transform(x, perm: Sequence[int]):
-    """CCV_NNC_FORMAT_TRANSFORM / TRANSPOSE."""
+    """CCV_NNC_FORMAT_TRANSFORM (full permutation)."""
     return jnp.transpose(x, perm)
+
+
+def transpose(x, axis_a: int = 0, axis_b: int = 1):
+    """CCV_NNC_TRANSPOSE: swap two axes (cmd params transpose.axis[2])."""
+    return jnp.swapaxes(x, axis_a, axis_b)
+
+
+def data_transfer(x, device=None):
+    """CCV_NNC_DATA_TRANSFER: host<->device / device<->device copy
+    (lib/nnc/cmd/util — the memcpy/cudaMemcpy command). Under jax this is
+    device_put; with no target it materializes on the default device."""
+    return jax.device_put(x, device)
 
 
 def datatype_conversion(x, dtype):

@@ -209,3 +209,76 @@ def grads_isnan(grads):
     """ccv_cnnp_model_parameter_gradients_isnan twin (ccv_nnc.h:4169)."""
     leaves = jax.tree_util.tree_leaves(grads)
     return jnp.any(jnp.stack([jnp.any(jnp.isnan(g)) for g in leaves]))
+
+
+# ---------------------------------------------------------------------------
+# Functional per-tensor update steps — twins of the reference's optimizer
+# COMMANDS (the tree-level Optimizer objects above are the CNNP-style API;
+# these are CCV_NNC_{SGD,ADAM,...}_FORWARD as plain functions, formulas
+# verbatim from the cpu_ref kernels).
+# ---------------------------------------------------------------------------
+
+def sgd_step(grad, x, mom, rate=0.001, scale=1.0, decay=0.0,
+             momentum=0.9, dampening=0.0, nesterov=False):
+    """CCV_NNC_SGD_FORWARD (cmd/sgd/ccv_nnc_sgd_cpu_ref.c:79-114):
+    (grad, x, momentum) -> (new x, new momentum)."""
+    if nesterov:
+        assert dampening == 0, "nesterov requires dampening == 0"
+        g = scale * grad
+        m = momentum * mom + g + decay * x
+        return x - rate * (g + momentum * m), m
+    m = momentum * mom + (1.0 - dampening) * (scale * grad + decay * x)
+    return x - rate * m, m
+
+
+def adam_step(grad, x, m, v, step, rate=0.001, scale=1.0, beta1=0.9,
+              beta2=0.999, decay=0.0, epsilon=1e-8):
+    """CCV_NNC_ADAM_FORWARD (cmd/adam/ccv_nnc_adam_cpu_ref.c:112-122):
+    (grad, x, m, v) + step (1-based) -> (new x, new m, new v)."""
+    g = scale * grad + decay * x
+    m2 = beta1 * m + (1.0 - beta1) * g
+    v2 = beta2 * v + (1.0 - beta2) * g * g
+    inv_b1 = 1.0 / (1.0 - beta1 ** step)
+    inv_b2 = 1.0 / (1.0 - beta2 ** step)
+    return (x - (m2 * rate * inv_b1) / (jnp.sqrt(v2 * inv_b2) + epsilon),
+            m2, v2)
+
+
+def adamw_step(grad, x, m, v, step, rate=0.001, scale=1.0, beta1=0.9,
+               beta2=0.999, decay=0.01, epsilon=1e-8):
+    """CCV_NNC_ADAMW_FORWARD (cmd/adam/ccv_nnc_adamw_cpu_ref.c:157-160):
+    decoupled decay — the decay term leaves the gradient moments."""
+    g = scale * grad
+    m2 = beta1 * m + (1.0 - beta1) * g
+    v2 = beta2 * v + (1.0 - beta2) * g * g
+    inv_b1 = 1.0 / (1.0 - beta1 ** step)
+    inv_b2 = 1.0 / (1.0 - beta2 ** step)
+    return (x - rate * decay * x
+            - (m2 * rate * inv_b1) / (jnp.sqrt(v2 * inv_b2) + epsilon),
+            m2, v2)
+
+
+def lamb_step(grad, x, m, v, step, rate=0.001, scale=1.0, beta1=0.9,
+              beta2=0.999, decay=0.0, epsilon=1e-6):
+    """CCV_NNC_LAMB_FORWARD (cmd/lamb/ccv_nnc_lamb_cpu_ref.c:96-130):
+    adam-style update scaled by the layer trust ratio |w| / |update|."""
+    g = scale * grad
+    m2 = beta1 * m + (1.0 - beta1) * g
+    v2 = beta2 * v + (1.0 - beta2) * g * g
+    inv_b1 = 1.0 / (1.0 - beta1 ** step)
+    inv_b2 = 1.0 / (1.0 - beta2 ** step)
+    update = (m2 * inv_b1) / (jnp.sqrt(v2 * inv_b2) + epsilon) + decay * x
+    w_norm = jnp.sqrt(jnp.sum(x.astype(jnp.float32) ** 2))
+    u_norm = jnp.sqrt(jnp.sum(update.astype(jnp.float32) ** 2))
+    trust = jnp.where((w_norm > 0) & (u_norm > 0), w_norm / u_norm, 1.0)
+    return x - rate * trust * update, m2, v2
+
+
+def rmsprop_step(grad, x, mom, v, rate=0.001, scale=1.0, decay=0.0,
+                 alpha=0.99, momentum=0.9, epsilon=1e-8):
+    """CCV_NNC_RMSPROP_FORWARD (cmd/rmsprop/ccv_nnc_rmsprop_cpu_ref.c:90-94):
+    (grad, x, momentum, velocity) -> (new x, new momentum, new velocity)."""
+    g = scale * grad + decay * x
+    v2 = alpha * v + (1.0 - alpha) * g * g
+    m2 = momentum * mom + g / (jnp.sqrt(v2) + epsilon)
+    return x - rate * m2, m2, v2
