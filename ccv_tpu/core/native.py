@@ -14,8 +14,10 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-_LIB_PATH = os.path.join(os.path.dirname(__file__), "..", "native",
-                         "libccv_tpu_native.so")
+_LIB_PATH = os.environ.get(
+    "CCV_TPU_NATIVE_LIB",
+    os.path.join(os.path.dirname(__file__), "..", "native",
+                 "libccv_tpu_native.so"))
 _lib: Optional[ctypes.CDLL] = None
 
 

@@ -372,7 +372,8 @@ def _install_lifecycle():
     for meth in ("compile", "set_data_parallel", "set_gradient_checkpointing",
                  "_make_programs", "_next_key", "fit", "evaluate", "backward",
                  "apply_gradients", "parameters", "set_parameters",
-                 "parameter_count", "parameters_zip_map", "parameters_isnan"):
+                 "parameter_count", "parameters_zip_map", "parameters_isnan",
+                 "cancel", "_take_cancel"):
         setattr(Model, meth, getattr(Sequential, meth))
 
 

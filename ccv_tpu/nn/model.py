@@ -235,10 +235,36 @@ class Sequential:
         self._step_key, sub = jax.random.split(self._step_key)
         return sub
 
+    # -- cancellation (ccv_cnnp_model_cancel, ccv_nnc.h:3823; the
+    # cooperative graph-run abort of ccv_nnc_graph_cancel, :1349) --------
+    def cancel(self):
+        """Cancel the next queued training/backward step. Jitted programs
+        are atomic on-device, so the abort point is BETWEEN dispatched
+        steps (the reference aborts between graph nodes): the next
+        fit/backward/apply_gradients observes the flag, skips its work,
+        returns None, and clears the flag. Safe to call from another
+        thread while a step is executing."""
+        import threading
+
+        ev = getattr(self, "_cancel_event", None)
+        if ev is None:
+            ev = self._cancel_event = threading.Event()
+        ev.set()
+
+    def _take_cancel(self) -> bool:
+        ev = getattr(self, "_cancel_event", None)
+        if ev is not None and ev.is_set():
+            ev.clear()
+            return True
+        return False
+
     # -- public API (ccv_cnnp_model_fit / evaluate / backward / apply) ----
     def fit(self, inputs, fits):
-        """One training step; returns the loss (model.c:1533)."""
+        """One training step; returns the loss (model.c:1533), or None if
+        the step was cancelled."""
         assert self._fit_fn is not None, "compile() first"
+        if self._take_cancel():
+            return None
         self.params, self.state, self.opt_state, loss = self._fit_fn(
             self.params, self.state, self.opt_state, inputs, fits,
             self._next_key())
@@ -251,7 +277,10 @@ class Sequential:
         return self._eval_fn(self.params, self.state, inputs)
 
     def backward(self, inputs, fits):
-        """Compute+stash gradients (model.c:1913); returns loss."""
+        """Compute+stash gradients (model.c:1913); returns loss, or None
+        if cancelled."""
+        if self._take_cancel():
+            return None
         grads, self.state, loss = self._grad_fn(
             self.params, self.state, inputs, fits, self._next_key())
         if self._pending_grads is None:
@@ -262,7 +291,10 @@ class Sequential:
         return float(loss)
 
     def apply_gradients(self):
-        """Apply stashed gradients (model.c:2088)."""
+        """Apply stashed gradients (model.c:2088); no-op if cancelled."""
+        if self._take_cancel():
+            self._pending_grads = None
+            return
         assert self._pending_grads is not None, "backward() first"
         self.params, self.opt_state = self.opt.update(
             self._pending_grads, self.opt_state, self.params)

@@ -298,3 +298,34 @@ def test_cmd_registry_introspection():
     assert not C.cmd_attr("CCV_NNC_RELU_FORWARD", C.CMD_ATTR_PASSTHROUGH)
     names = {e.name for e in C.commands()}
     assert "CCV_NNC_SCALED_DOT_PRODUCT_ATTENTION_FORWARD" in names
+
+
+def test_model_cancel_is_one_shot():
+    """ccv_cnnp_model_cancel twin: the next queued step is skipped
+    (params/opt state untouched), then training resumes."""
+    from ccv_tpu.nn import layers as L
+    from ccv_tpu.nn import optimizers
+    from ccv_tpu.nn.model import Sequential
+
+    m = Sequential([L.Dense(4), L.ReLU(), L.Dense(1)])
+    m.build((8, 3))
+    m.compile(optimizers.sgd(rate=0.1), loss="mse")
+    x = np.ones((8, 3), np.float32)
+    y = np.zeros((8, 1), np.float32)
+    first = m.fit(x, y)
+    assert first is not None
+    before = jax.tree_util.tree_map(np.asarray, m.parameters())
+    m.cancel()
+    assert m.fit(x, y) is None  # cancelled step: no work, no mutation
+    after = jax.tree_util.tree_map(np.asarray, m.parameters())
+    for a, b in zip(jax.tree_util.tree_leaves(before),
+                    jax.tree_util.tree_leaves(after)):
+        np.testing.assert_array_equal(a, b)
+    assert m.fit(x, y) is not None  # flag cleared: training resumes
+    # backward/apply_gradients honor it too
+    m.cancel()
+    assert m.backward(x, y) is None
+    assert m.backward(x, y) is not None
+    m.cancel()
+    m.apply_gradients()  # cancelled: drops pending grads, no assert
+    assert m._pending_grads is None
