@@ -45,6 +45,10 @@ def main():
     ap.add_argument("--vocab", type=int, default=32768)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument("--remat-policy", default="dots",
+                    choices=["full", "dots"],
+                    help="dots: save matmul outputs, recompute only cheap "
+                    "elementwise ops (higher MFU, modest memory)")
     ap.add_argument("--no-flash", action="store_true")
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture an xprof trace of 3 steps into DIR")
@@ -64,7 +68,8 @@ def main():
     cfg = tfm.TransformerConfig(
         vocab_size=args.vocab, layers=args.layers, heads=args.heads,
         head_dim=args.dim // args.heads, ff=args.ff, max_len=args.seq,
-        dropout=0.0, dtype=jnp.bfloat16, remat=not args.no_remat)
+        dropout=0.0, dtype=jnp.bfloat16, remat=not args.no_remat,
+        remat_policy=args.remat_policy)
     params = tfm.init_lm(jax.random.PRNGKey(0), cfg)
     n_params = sum(int(np.prod(p.shape))
                    for p in jax.tree_util.tree_leaves(params))

@@ -53,6 +53,12 @@ class TransformerConfig:
     # rematerialize each block's activations in the backward pass
     # (ccv_cnnp_model_gradient_checkpointing.c's role, as jax.checkpoint)
     remat: bool = False
+    # remat policy: "full" recomputes everything (min memory, +1 forward
+    # of FLOPs); "dots" saves the block's weight-matmul outputs and
+    # recomputes only cheap elementwise/norm ops
+    # (jax.checkpoint_policies.dots_with_no_batch_dims_saveable) — the
+    # usual MFU-vs-memory sweet spot for transformer training
+    remat_policy: str = "full"
 
     @property
     def dim(self) -> int:
@@ -350,8 +356,11 @@ def lm_forward(params, cfg: TransformerConfig, ids,
     x = _dropout(x, cfg.dropout, keys[-1], train)
     block = _encoder_block
     if cfg.remat:
+        policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                  if cfg.remat_policy == "dots" else None)
         block = jax.checkpoint(_encoder_block,
-                               static_argnums=(2, 5, 6, 7))
+                               static_argnums=(2, 5, 6, 7),
+                               policy=policy)
     for i, blk in enumerate(params["encoder"]):
         x = block(blk, x, cfg, None, keys[i], train, True, ring)
     return (x @ params["out"].astype(dt)).astype(jnp.float32)
