@@ -59,17 +59,19 @@ def test_serve_tld_and_convnet():
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     try:
-        # /tld/track.object: rigid shift between two crops of street.png
+        # /tld/track.object: exact rigid shift of a synthetic textured
+        # patch (np.roll). Frame and box shapes deliberately MATCH
+        # test_tld.py's gate (152x152, 48x80 box) so the Tld programs
+        # compile once per pytest process across both tests.
         import io as _io
 
         import numpy as np
-        from ccv_tpu.core.io import read, write, IO_GRAY
+        from ccv_tpu.core.io import write, IO_GRAY
 
-        img = read("/root/reference/samples/street.png", IO_GRAY).numpy()
-        # small crops: this gates the HTTP plumbing; tracking quality has
-        # its own (larger) gate in test_tld.py
-        crop0 = img[100:220, 400:520]
-        crop1 = img[103:223, 403:523]  # shifted content
+        rng = np.random.default_rng(3)
+        base = rng.uniform(40, 220, (19, 19))
+        crop0 = np.kron(base, np.ones((8, 8)))[:152, :152].astype(np.float32)
+        crop1 = np.roll(crop0, (-3, -3), axis=(0, 1))
         import tempfile
 
         def png_bytes(a):
@@ -85,7 +87,7 @@ def test_serve_tld_and_convnet():
 
         body, ctype = _multipart({
             "previous": png_bytes(crop0), "source": png_bytes(crop1),
-            "x": "40", "y": "30", "width": "40", "height": "60"})
+            "x": "40", "y": "40", "width": "48", "height": "80"})
         req = urllib.request.Request(
             f"http://127.0.0.1:{port}/tld/track.object", data=body,
             headers={"Content-Type": ctype}, method="POST")
@@ -93,7 +95,7 @@ def test_serve_tld_and_convnet():
             out = json.loads(r.read())
         assert out.get("found"), out
         # the content shifted by (-3, -3)
-        assert abs(out["x"] - 37) <= 3 and abs(out["y"] - 27) <= 3, out
+        assert abs(out["x"] - 37) <= 3 and abs(out["y"] - 37) <= 3, out
 
         # /convnet/classify with a missing model reports a clean error
         body, ctype = _multipart({"source": png_bytes(crop0),
