@@ -585,7 +585,7 @@ def _get_level_fn(src_shape, rows: int, cols: int, ny: int, nx: int,
 
 
 def _get_octave_fn(src_shape, lspecs, cascade: ScdClassifierCascade,
-                   step: int, tabs, has_next: bool):
+                   step: int, tabs, has_next: bool, batch: bool = False):
     """ONE jitted program for a whole octave: every level of the octave
     (sharing the octave source) + the sample_down to the next octave, with
     the levels' outputs packed into a single rows array. Each program
@@ -593,7 +593,7 @@ def _get_octave_fn(src_shape, lspecs, cascade: ScdClassifierCascade,
     dispatches per image fused down to one per octave is ~10 ms/image.
     (Round 1 fused the ENTIRE pyramid into one program and hit a 17.5 MB
     MLIR module that killed the compiler; one octave stays small.)"""
-    key = (id(cascade), src_shape, tuple(lspecs), step, has_next)
+    key = (id(cascade), src_shape, tuple(lspecs), step, has_next, batch)
     fn = _LEVEL_CACHE.get(key)
     if fn is not None:
         return fn
@@ -618,7 +618,14 @@ def _get_octave_fn(src_shape, lspecs, cascade: ScdClassifierCascade,
             (), jnp.float32)
         return packed, cnts, nxt
 
-    fn = jax.jit(octave)
+    if batch:
+        # one dispatch per octave for the WHOLE image batch: B x the
+        # per-program work of the single path, so the tiny upper-pyramid
+        # levels stop being dispatch-bound
+        fn = jax.jit(jax.vmap(octave, in_axes=(0, None),
+                              out_axes=(0, 0, 0 if has_next else None)))
+    else:
+        fn = jax.jit(octave)
     _LEVEL_CACHE[key] = fn
     return fn
 
@@ -692,50 +699,51 @@ def detect_async(img, cascade: ScdClassifierCascade,
 _PACK_CACHE: dict = {}
 
 
-def _get_pack_fn(shapes):
+def _get_pack_fn(shapes, batch: bool = False):
     """Jitted packer: the per-octave (rows (Ko, 3), counts (Lo, 2)) pairs
     -> one (sum(Ko) + L, 3) float32 array with the count pairs appended as
-    trailing rows (idx/count values stay exact in f32: < 2^24)."""
-    fn = _PACK_CACHE.get(shapes)
+    trailing rows (idx/count values stay exact in f32: < 2^24). With
+    batch=True every piece carries a leading image axis and the pack runs
+    along axis 1."""
+    key = (shapes, batch)
+    fn = _PACK_CACHE.get(key)
     if fn is not None:
         return fn
+    ax = 1 if batch else 0
 
     def pack(flat):
         rows = [flat[2 * i] for i in range(len(flat) // 2)]
         cnts = jnp.concatenate([flat[2 * i + 1]
-                                for i in range(len(flat) // 2)])  # (L, 2)
-        z = jnp.zeros((cnts.shape[0], 1), cnts.dtype)
-        return jnp.concatenate(rows + [jnp.concatenate([cnts, z], axis=1)],
-                               axis=0)
+                                for i in range(len(flat) // 2)], axis=ax)
+        z = jnp.zeros(cnts.shape[:-1] + (1,), cnts.dtype)
+        return jnp.concatenate(rows + [jnp.concatenate([cnts, z], axis=-1)],
+                               axis=ax)
 
     fn = jax.jit(pack)
-    _PACK_CACHE[shapes] = fn
+    _PACK_CACHE[key] = fn
     return fn
 
 
-def detect_collect(handle) -> List[Comp]:
-    """Wait for a detect_async dispatch and run the host-edge grouping."""
-    (packed, lens, specs, pyr, up_ratio, eff_w, eff_h, step, cascade, tabs,
-     params) = handle
-    arr = np.asarray(packed)  # the ONE host<->device round trip
+def _split_rows(arr: np.ndarray, lens):
+    """Packed (sum(lens)+L, 3) -> per-spec (idx, passed, conf, count2)."""
     counts = arr[sum(lens):, :2]
     offs = np.concatenate([[0], np.cumsum(lens)])
-    outs = [(arr[offs[i]:offs[i + 1], 0].astype(np.int32),
+    return [(arr[offs[i]:offs[i + 1], 0].astype(np.int32),
              arr[offs[i]:offs[i + 1], 1] != 0.0,
              arr[offs[i]:offs[i + 1], 2],
              counts[i]) for i in range(len(lens))]
+
+
+def _comps_from_levels(outs, specs, up_ratio, eff_w, eff_h, step, rerun):
+    """Host edge: per-level survivor rows -> Comp list. `rerun(spec)` is
+    the full-capacity fallback for (rare) compaction overflow."""
     comps: List[Comp] = []
     for spec, (idx, passed, conf, count2) in zip(specs, outs):
         (octave, k, rows, cols, ny, nx, scale) = spec
         K1 = _level_capacity(ny * nx)
         K2 = _level_capacity2(ny * nx)
         if int(count2[0]) > K1 or int(count2[1]) > K2:
-            # compaction overflow (rare): rerun this level at full capacity
-            src = pyr[octave]
-            fn = _get_level_fn(tuple(src.shape), rows, cols, ny, nx, k == 0,
-                               cascade, step, tabs, K1=ny * nx, K2=ny * nx)
-            idx, passed, conf, count2 = jax.device_get(
-                fn(src, tabs["last_count"]))
+            idx, passed, conf, count2 = rerun(spec)
         passed = np.asarray(passed)
         if not passed.any():
             continue
@@ -751,6 +759,26 @@ def detect_collect(handle) -> List[Comp]:
                 height=int(eff_h * sc),
                 confidence=float(conf[j]),
                 classification_id=1))
+    return comps
+
+
+def detect_collect(handle) -> List[Comp]:
+    """Wait for a detect_async dispatch and run the host-edge grouping."""
+    (packed, lens, specs, pyr, up_ratio, eff_w, eff_h, step, cascade, tabs,
+     params) = handle
+    arr = np.asarray(packed)  # the ONE host<->device round trip
+    outs = _split_rows(arr, lens)
+
+    def rerun(spec):
+        # compaction overflow (rare): rerun this level at full capacity
+        (octave, k, rows, cols, ny, nx, scale) = spec
+        src = pyr[octave]
+        fn = _get_level_fn(tuple(src.shape), rows, cols, ny, nx, k == 0,
+                           cascade, step, tabs, K1=ny * nx, K2=ny * nx)
+        return jax.device_get(fn(src, tabs["last_count"]))
+
+    comps = _comps_from_levels(outs, specs, up_ratio, eff_w, eff_h, step,
+                               rerun)
     return merge_detections(comps, params.min_neighbors)
 
 
@@ -770,9 +798,12 @@ _sample_down_batch = jax.jit(jax.vmap(resample.sample_down))
 
 def detect_batch(imgs, cascade: ScdClassifierCascade,
                  params: Optional[ScdParams] = None) -> List[List[Comp]]:
-    """Batched ccv_scd_detect_objects: (B, H, W, C) same-shape images run
-    through vmapped level programs — one device dispatch per level for the
-    WHOLE batch (the CMU-test-set-style batch benchmark shape)."""
+    """Batched ccv_scd_detect_objects: (B, H, W, C) same-shape images
+    through BATCHED octave-fused programs — one device dispatch per
+    octave for the whole batch, one packed buffer fetch total (the
+    CMU-test-set-style batch benchmark shape). B x the per-program work
+    of the single-image path, so the tiny upper-pyramid levels stop
+    being dispatch-bound."""
     params = params or ScdParams()
     a = jnp.asarray(imgs)
     assert a.ndim == 4, "detect_batch expects (B, H, W, C)"
@@ -785,45 +816,48 @@ def detect_batch(imgs, cascade: ScdClassifierCascade,
     specs, scale_upto = _level_specs(H, W, cascade, params)
     step = params.step_through
     tabs = _cascade_tables(cascade)
-    pyr = [a]
-    for _ in range(1, scale_upto):
-        pyr.append(_sample_down_batch(pyr[-1]))
-    outs = []
+    by_octave: dict = {}
     for (octave, k, rows, cols, ny, nx, scale) in specs:
-        src = pyr[octave]
-        fn = _get_level_fn(tuple(src.shape[1:]), rows, cols, ny, nx, k == 0,
-                           cascade, step, tabs,
-                           K1=_level_capacity(ny * nx),
-                           K2=_level_capacity2(ny * nx), batch=True)
-        outs.append(fn(src, tabs["last_count"]))
-    outs = jax.device_get(outs)
-    # compaction overflow (rare): rerun that level at full capacity
-    for si, (spec, (idx, passed, conf, count)) in enumerate(zip(specs, outs)):
-        (octave, k, rows, cols, ny, nx, scale) = spec
-        if (int(np.max(count[:, 0])) > _level_capacity(ny * nx)
-                or int(np.max(count[:, 1])) > _level_capacity2(ny * nx)):
-            src = pyr[octave]
-            fn = _get_level_fn(tuple(src.shape[1:]), rows, cols, ny, nx,
-                               k == 0, cascade, step, tabs, K1=ny * nx,
-                               K2=ny * nx, batch=True)
-            outs[si] = jax.device_get(fn(src, tabs["last_count"]))
+        by_octave.setdefault(octave, []).append((k, rows, cols, ny, nx))
+    pyr = [a]
+    pieces = []
+    src = a
+    for octave in range(scale_upto):
+        lspecs = by_octave.get(octave, [])
+        has_next = octave < scale_upto - 1
+        if not lspecs:
+            if has_next:
+                src = _sample_down_batch(src)
+                pyr.append(src)
+            continue
+        fn = _get_octave_fn(tuple(src.shape[1:]), lspecs, cascade, step,
+                            tabs, has_next, batch=True)
+        packed_o, cnts, nxt = fn(src, tabs["last_count"])
+        pieces.append((packed_o, cnts))
+        if has_next:
+            src = nxt
+            pyr.append(src)
+    lens = tuple(_out_len(tabs, ny * nx, _level_capacity(ny * nx),
+                          _level_capacity2(ny * nx))
+                 for (octave, k, rows, cols, ny, nx, scale) in specs)
+    shapes = tuple(int(p.shape[1]) for p, c in pieces)
+    packed = _get_pack_fn(shapes, batch=True)(
+        tuple(x for pc in pieces for x in pc))
+    arr = np.asarray(packed)  # ONE fetch for the whole batch
+
     results: List[List[Comp]] = []
     for b in range(B):
-        comps: List[Comp] = []
-        for spec, (idx, passed, conf, count) in zip(specs, outs):
+        outs = _split_rows(arr[b], lens)
+
+        def rerun(spec, _b=b):
             (octave, k, rows, cols, ny, nx, scale) = spec
-            pb, pi, pc = passed[b], idx[b], conf[b]
-            if not pb.any():
-                continue
-            sc = (scale / up_ratio) * (1 << octave)
-            for j in np.nonzero(pb)[0]:
-                wy, wx = divmod(int(pi[j]), nx)
-                comps.append(Comp(
-                    x=int((wx * step + 0.5) * sc - 0.5),
-                    y=int((wy * step + 0.5) * sc - 0.5),
-                    width=int(eff_w * sc),
-                    height=int(eff_h * sc),
-                    confidence=float(pc[j]),
-                    classification_id=1))
+            src_b = pyr[octave][_b]
+            fn = _get_level_fn(tuple(src_b.shape), rows, cols, ny, nx,
+                               k == 0, cascade, step, tabs, K1=ny * nx,
+                               K2=ny * nx)
+            return jax.device_get(fn(src_b, tabs["last_count"]))
+
+        comps = _comps_from_levels(outs, specs, up_ratio, eff_w, eff_h,
+                                   step, rerun)
         results.append(merge_detections(comps, params.min_neighbors))
     return results
