@@ -39,16 +39,19 @@ _THETA = 2.0 / math.sqrt(32.0)  # L2Hys clamp
 
 # On TPU the default matmul feeds bf16 into the MXU; raw SAT values are
 # ~1e6 while box sums are ~1e2-1e4, so the mantissa loss adds noise to the
-# box sums (measured: ~0.05 max confidence deviation vs the reference
-# oracle on crop180, identical window sets; phase-A survivor counts
-# inflate but stay within the compaction capacity). Enabling this centers
-# the matmul operands on their first corner per window — mathematically a
-# no-op for the box sums (every corner row of M sums to zero) — which
-# restores f32-exact behavior at ~40% throughput cost (7.3 -> 5.1 MP/s on
-# the street.png bench). ccv_tpu.ops.pallas.scd_phase.phase_a is the
-# f32-exact phase-A kernel (faster than the centered XLA form standalone)
-# for callers that want exactness without the centering pass.
-TPU_EXACT_BOX_SUMS = False
+# box sums, and bf16-rounded phase-B matmuls were measured (round 3, the
+# reference's own demo photo) to kill 17 of the 26 true surviving windows
+# — a real fidelity break on the chip. The exact path therefore does BOTH:
+# center the matmul operands on their first corner per window
+# (mathematically a no-op — every corner row of M sums to zero — but it
+# shrinks the operand magnitude from SAT scale ~1e6 to box scale ~1e2)
+# AND run the matmul at Precision.HIGHEST (6-pass bf16 ~ f32 accuracy).
+# With both, the TPU survivor set matches the CPU/f32 oracle window for
+# window (26/26 comps, identical boxes) on the demo photo. Exact is the
+# DEFAULT on TPU; set CCV_TPU_SCD_EXACT=0 only to measure the noise cost.
+import os as _os
+
+TPU_EXACT_BOX_SUMS = _os.environ.get("CCV_TPU_SCD_EXACT", "1") != "0"
 
 # small standalone program for the octave chain (shared across levels and
 # images; jax.jit caches by input shape)
@@ -285,14 +288,17 @@ def _surf_from_D(D, phase):
     # one (F*4, nd) @ (nd, n*8) matmul — XLA lowers the equivalent einsum
     # 'fd,ndc->nfc' to a much slower batched form
     Dt = D.transpose(1, 0, 2).reshape(nd, n * 8)
-    if TPU_EXACT_BOX_SUMS and jax.default_backend() != "cpu":
+    exact = TPU_EXACT_BOX_SUMS and jax.default_backend() != "cpu"
+    if exact:
         # see TPU_EXACT_BOX_SUMS: exact-invariant centering (row 0 is
         # corner 0 for every (window, channel) column; every corner row
-        # of M sums to zero) keeps the bf16 MXU matmul from cancelling
-        # away the box sums. CPU f32 matmuls don't need it — left
+        # of M sums to zero) + HIGHEST-precision matmul keep the MXU
+        # box sums f32-exact. CPU f32 matmuls don't need it — left
         # untouched so the bit-exact parity oracles keep passing.
         Dt = Dt - Dt[0:1, :]
-    box = jnp.matmul(M, Dt, preferred_element_type=jnp.float32)
+    prec = jax.lax.Precision.HIGHEST if exact else None
+    box = jnp.matmul(M, Dt, preferred_element_type=jnp.float32,
+                     precision=prec)
     F = w.shape[0]
     surf = box.reshape(F, 4, n, 8).transpose(2, 0, 1, 3).reshape(n, F, 32)
     # L2Hys: normalize, clamp, renormalize (ccv_scd.c:502-533)
@@ -300,7 +306,7 @@ def _surf_from_D(D, phase):
     surf = jnp.clip(surf * inv, -_THETA, _THETA)
     inv2 = 1.0 / (jnp.sqrt(jnp.sum(surf * surf, axis=-1, keepdims=True)) + 1e-6)
     surf = surf * inv2
-    logit = jnp.einsum("nfk,fk->nf", surf, w) + bias
+    logit = jnp.einsum("nfk,fk->nf", surf, w, precision=prec) + bias
     resp = jnp.tanh(0.5 * logit)  # (exp(x)-1)/(exp(x)+1)
     v = resp @ phase["onehot"]
     passed = jnp.all(v > phase["thresholds"], axis=-1)

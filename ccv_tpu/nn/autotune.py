@@ -118,9 +118,18 @@ def _key(op: str, args: Sequence[Any], extra: str) -> str:
     return f"{op}|{dev}|{sig}|{extra}"
 
 
+_PIPELINE = 8  # dispatches per timed trial (amortizes the device RTT)
+
+
 def _time_variant(fn: Callable, args: Tuple) -> float:
-    """Median wall-clock of `fn(*args)` with a warmup run (the analog of
-    ccv_nnc_cmd_mono_time bracketing, cmd.c:489-497)."""
+    """Best per-call wall-clock of `fn(*args)` with a warmup run (the
+    analog of ccv_nnc_cmd_mono_time bracketing, cmd.c:489-497).
+
+    Each trial dispatches the program _PIPELINE times back-to-back before
+    blocking: over a tunneled device a single block_until_ready costs a
+    ~25 ms round trip, which would swamp the variants' real (sub-ms)
+    differences; pipelined dispatch measures device throughput — the same
+    way the detectors' async paths use the winner."""
     import jax
 
     jfn = jax.jit(fn)
@@ -128,11 +137,13 @@ def _time_variant(fn: Callable, args: Tuple) -> float:
     try:
         for i in range(_WARMUP + _TRIALS):
             t0 = time.perf_counter()
-            out = jfn(*args)
+            out = None
+            for _ in range(_PIPELINE if i >= _WARMUP else 1):
+                out = jfn(*args)
             jax.block_until_ready(out)
             dt = time.perf_counter() - t0
             if i >= _WARMUP:
-                best = min(best, dt)
+                best = min(best, dt / _PIPELINE)
     except Exception:
         return float("inf")  # a variant that can't run never wins
     return best

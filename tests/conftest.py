@@ -1,27 +1,38 @@
 """Test config: force CPU with 8 virtual devices so sharding/collective tests
-run without TPU hardware (bench runs on the real chip via bench.py)."""
+run without TPU hardware (bench runs on the real chip via bench.py).
+
+`pytest --tpu` flips to the REAL-CHIP fidelity tier: the platform is left
+at the session default (the TPU), and only tests marked ``@pytest.mark.tpu``
+run — the window-parity and golden-image gates whose numbers must hold on
+the accelerated backend too (round-2 lesson: the bf16 MXU box-sum noise
+broke SCD detections on the chip while every CPU-tier gate stayed green)."""
 
 import os
+import sys
 
-# force CPU even when the session exports JAX_PLATFORMS=axon (real TPU).
-# jax may already be imported by a pytest plugin, so set the config directly
-# (it works pre-backend-initialization) in addition to the env vars.
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["JAX_PLATFORM_NAME"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
-# the CPU tier checks NUMERICS, not speed: backend optimization level 0
-# cuts cold-compile wall time ~4.5x (test_scd_batch 318 s -> 71 s) with
-# identical results
-if "xla_backend_optimization_level" not in flags:
-    flags = (flags + " --xla_backend_optimization_level=0").strip()
-os.environ["XLA_FLAGS"] = flags
+TPU_TIER = "--tpu" in sys.argv
+
+if not TPU_TIER:
+    # force CPU even when the session exports JAX_PLATFORMS=axon (real TPU).
+    # jax may already be imported by a pytest plugin, so set the config
+    # directly (it works pre-backend-initialization) plus the env vars.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["JAX_PLATFORM_NAME"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+    # the CPU tier checks NUMERICS, not speed: backend optimization level 0
+    # cuts cold-compile wall time ~4.5x (test_scd_batch 318 s -> 71 s) with
+    # identical results
+    if "xla_backend_optimization_level" not in flags:
+        flags = (flags + " --xla_backend_optimization_level=0").strip()
+    os.environ["XLA_FLAGS"] = flags
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-assert jax.devices()[0].platform == "cpu", jax.devices()
+if not TPU_TIER:
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.devices()[0].platform == "cpu", jax.devices()
 
 # persistent compile cache: this box has ONE core and the fidelity suite is
 # dominated by XLA CPU compiles — cache them across pytest runs
@@ -42,11 +53,13 @@ def reference_path(rel: str) -> str:
 
 
 def has_reference() -> bool:
-    return os.path.isdir(REFERENCE)
+    # a directory that exists but lacks the samples is NOT a usable
+    # checkout (CI may export CCV_TPU_REFERENCE at a stub path)
+    return os.path.isfile(os.path.join(REFERENCE, "samples", "chessbox.png"))
 
 
 requires_reference = pytest.mark.skipif(
-    not os.path.isdir(REFERENCE), reason="reference checkout not available"
+    not has_reference(), reason="reference checkout not available"
 )
 
 
@@ -87,6 +100,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 def pytest_addoption(parser):
     parser.addoption("--slow", action="store_true", default=False,
                      help="run the slow end-to-end fidelity tier as well")
+    parser.addoption("--tpu", action="store_true", default=False,
+                     help="real-chip tier: run only @pytest.mark.tpu gates "
+                          "on the session's accelerator backend")
 
 
 _module_uses_reference: dict = {}
@@ -119,6 +135,14 @@ def pytest_collection_modifyitems(config, items):
         for item in items:
             if _uses_reference(str(item.fspath)):
                 item.add_marker(skip_ref)
+    if config.getoption("--tpu"):
+        # real-chip tier: ONLY the tpu-marked fidelity gates (the rest of
+        # the suite assumes the 8-virtual-device CPU mesh)
+        skip_non_tpu = pytest.mark.skip(reason="not part of the --tpu tier")
+        for item in items:
+            if "tpu" not in item.keywords:
+                item.add_marker(skip_non_tpu)
+        return
     if config.getoption("--slow"):
         return
     skip = pytest.mark.skip(reason="slow tier: run with --slow")

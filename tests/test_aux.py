@@ -1,5 +1,6 @@
 """Aux subsystem tests: native runtime, dataframe pipeline, util, logging."""
 
+from conftest import reference_path
 import os
 
 import numpy as np
@@ -34,12 +35,12 @@ class TestNative:
         from PIL import Image
 
         if native.load() is None or not os.path.exists(
-                "/root/reference/samples/nature.png"):
+                reference_path("samples/nature.png")):
             pytest.skip("native library or samples not available")
-        r = native.decode_image("/root/reference/samples/nature.png")
+        r = native.decode_image(reference_path("samples/nature.png"))
         assert r is not None
         arr, ch = r
-        pil = np.asarray(Image.open("/root/reference/samples/nature.png").convert("RGB"))
+        pil = np.asarray(Image.open(reference_path("samples/nature.png")).convert("RGB"))
         np.testing.assert_array_equal(arr, pil)
 
 

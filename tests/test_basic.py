@@ -26,6 +26,7 @@ def nature():
     return read(reference_path("samples/nature.png"), IO_GRAY)
 
 
+@pytest.mark.tpu
 @requires_reference
 class TestSobel:
     def test_sobel_x(self, chessbox):
@@ -102,6 +103,7 @@ class TestBlur:
         assert_image_close(out.numpy(), read_golden("nature.blur.bin"), atol=0, msg="blur")
 
 
+@pytest.mark.tpu
 @requires_reference
 class TestResample:
     def test_resample_area(self):

@@ -1,5 +1,6 @@
 """ccv_convnet wire-format + classify parity (oracle: gen_convnet.c)."""
 
+from conftest import reference_path
 import os
 
 import numpy as np
@@ -16,7 +17,7 @@ def test_convnet_read_and_classify_parity():
     net = Convnet.read(os.path.join(DATA, "tiny_convnet_f32.sqlite3"))
     assert net.input_size == (32, 32)
     assert len(net.layers) == 6
-    img = read("/root/reference/samples/street.png", IO_RGB_COLOR)
+    img = read(reference_path("samples/street.png"), IO_RGB_COLOR)
     ranks = net.classify(img.numpy(), tops=10)
     with open(os.path.join(DATA, "tiny_convnet_classify.txt")) as f:
         n = int(f.readline())
@@ -37,7 +38,7 @@ def test_convnet_half_precision_read():
 
     net16 = Convnet.read(os.path.join(DATA, "tiny_convnet_f16.sqlite3"))
     net32 = Convnet.read(os.path.join(DATA, "tiny_convnet_f32.sqlite3"))
-    img = read("/root/reference/samples/street.png", IO_RGB_COLOR)
+    img = read(reference_path("samples/street.png"), IO_RGB_COLOR)
     r16 = net16.classify(img.numpy(), tops=3)
     r32 = net32.classify(img.numpy(), tops=3)
     assert [r[0] for r in r16] == [r[0] for r in r32]

@@ -5,6 +5,7 @@ transpose (ccv_daisy.c:108-131, an upstream quirk); we implement the
 intended semantics, so the gate checks the center + inner rings tightly
 and the outermost ring loosely (daisy.py module docstring)."""
 
+from conftest import reference_path
 import os
 
 import numpy as np
@@ -16,7 +17,7 @@ def test_daisy_parity():
     from ccv_tpu.core.io import read, IO_GRAY
     from ccv_tpu.detectors import daisy
 
-    img = np.asarray(read("/root/reference/samples/chessbox.png",
+    img = np.asarray(read(reference_path("samples/chessbox.png"),
                           IO_GRAY).numpy())
     crop = img[40:104, 40:104]
     mine = np.asarray(daisy.daisy(crop))

@@ -5,6 +5,7 @@ bugs fixed (kissfft multi-tile filter garbage; model-repack OOB read) —
 see tests/data/gen/README.md.
 """
 
+from conftest import reference_path
 import os
 
 import numpy as np
@@ -57,8 +58,8 @@ def street_raw():
     from ccv_tpu.core.io import read, IO_RGB_COLOR
     from ccv_tpu.detectors import dpm
 
-    img = read("/root/reference/samples/street.png", IO_RGB_COLOR)
-    model = dpm.read_mixture_model("/root/reference/samples/pedestrian.m")
+    img = read(reference_path("samples/street.png"), IO_RGB_COLOR)
+    model = dpm.read_mixture_model(reference_path("samples/pedestrian.m"))
     return img, model
 
 
@@ -107,8 +108,8 @@ def test_dpm_small_interval():
     from ccv_tpu.core.io import read, IO_RGB_COLOR
     from ccv_tpu.detectors import dpm
 
-    img = read("/root/reference/samples/street.png", IO_RGB_COLOR)
-    model = dpm.read_mixture_model("/root/reference/samples/pedestrian.m")
+    img = read(reference_path("samples/street.png"), IO_RGB_COLOR)
+    model = dpm.read_mixture_model(reference_path("samples/pedestrian.m"))
     out = dpm.detect(img.array, model,
                      dpm.DpmParams(interval=0, min_neighbors=0,
                                    threshold=0.4))

@@ -1,5 +1,6 @@
 """HOG + LK optical flow parity vs reference goldens (tests/data/gen)."""
 
+from conftest import reference_path
 import os
 
 import numpy as np
@@ -14,7 +15,7 @@ def test_hog_parity():
     from ccv_tpu.core.io import read, IO_GRAY
     from ccv_tpu.ops import classic
 
-    img = read("/root/reference/samples/chessbox.png", IO_GRAY)
+    img = read(reference_path("samples/chessbox.png"), IO_GRAY)
     crop = np.asarray(img.numpy())[:96, :128]
     mine = np.asarray(classic.hog(crop, sbin=9, size=8))
     with open(os.path.join(DATA, "hog_chessbox_crop.txt")) as f:
@@ -38,7 +39,7 @@ def test_lk_optical_flow_parity():
     from ccv_tpu.core.io import read, IO_GRAY
     from ccv_tpu.ops import classic
 
-    img = np.asarray(read("/root/reference/samples/chessbox.png", IO_GRAY).numpy())
+    img = np.asarray(read(reference_path("samples/chessbox.png"), IO_GRAY).numpy())
     a = img[: img.shape[0] - 8, : img.shape[1] - 8]
     b = img[3 : img.shape[0] - 5, 2 : img.shape[1] - 6]
     with open(os.path.join(DATA, "lk_chessbox_shift.txt")) as f:

@@ -1,5 +1,6 @@
 """MSER parity vs the reference oracle (tests/data/gen/gen_mser.c)."""
 
+from conftest import reference_path
 import os
 
 import numpy as np
@@ -22,7 +23,7 @@ def test_mser_window_parity(direction, golden_file):
     from ccv_tpu.core.io import read, IO_GRAY
     from ccv_tpu.detectors import mser
 
-    img = read("/root/reference/samples/scene.png", IO_GRAY).numpy()
+    img = read(reference_path("samples/scene.png"), IO_GRAY).numpy()
     kps, labels = mser.mser(img, params=mser.MserParams(direction=direction))
     golden = _load(golden_file)
     assert len(kps) == len(golden), (len(kps), len(golden))
@@ -34,7 +35,7 @@ def test_mser_label_map():
     from ccv_tpu.core.io import read, IO_GRAY
     from ccv_tpu.detectors import mser
 
-    img = read("/root/reference/samples/scene.png", IO_GRAY).numpy()
+    img = read(reference_path("samples/scene.png"), IO_GRAY).numpy()
     kps, labels = mser.mser(img)
     hist = {l: c for l, c in
             (map(int, line.split()) for line in
@@ -52,7 +53,7 @@ def test_mscr_color_parity():
     from ccv_tpu.core.io import read, IO_RGB_COLOR
     from ccv_tpu.detectors import mser
 
-    img = np.asarray(read("/root/reference/samples/scene.png",
+    img = np.asarray(read(reference_path("samples/scene.png"),
                           IO_RGB_COLOR).numpy())
     params = mser.MserParams(
         min_area=60, max_area=int(img.shape[0] * img.shape[1] * 0.3 + 0.5),
@@ -69,8 +70,8 @@ def test_mser_any_dispatch():
     from ccv_tpu.core.io import read, IO_GRAY, IO_RGB_COLOR
     from ccv_tpu.detectors import mser
 
-    gray = read("/root/reference/samples/scene.png", IO_GRAY).numpy()
-    color = read("/root/reference/samples/scene.png", IO_RGB_COLOR).numpy()
+    gray = read(reference_path("samples/scene.png"), IO_GRAY).numpy()
+    color = read(reference_path("samples/scene.png"), IO_RGB_COLOR).numpy()
     kg, _ = mser.mser_any(gray)
     kc, _ = mser.mser_any(color)
     assert len(kg) == 188  # the set-union oracle count

@@ -9,6 +9,7 @@ tpu_only = pytest.mark.skipif(jax.default_backend() != "tpu",
                               reason="pallas TPU kernel")
 
 
+@pytest.mark.tpu
 @tpu_only
 def test_phase_a_kernel_matches_f32_xla():
     import jax.numpy as jnp

@@ -1,5 +1,6 @@
 """HTTP facade smoke test (serve/server.py, reference serve/)."""
 
+from conftest import reference_path
 import json
 import os
 import sys
@@ -20,7 +21,7 @@ def test_serve_endpoints():
         with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as r:
             eps = json.loads(r.read())
         assert "/scd/detect.objects" in eps
-        img = open("/root/reference/samples/scene.png", "rb").read()
+        img = open(reference_path("samples/scene.png"), "rb").read()
         req = urllib.request.Request(
             f"http://127.0.0.1:{port}/mser", data=img, method="POST")
         with urllib.request.urlopen(req) as r:

@@ -8,20 +8,20 @@ within 2%; descriptor pipeline validated via match-count parity
 (96 vs the reference's 97 matched pairs on book/scene, checked out-of-band).
 """
 
+from conftest import reference_path
 import os
 
 import numpy as np
 import pytest
 
 DATA = os.path.join(os.path.dirname(__file__), "data")
-REF_SAMPLES = "/root/reference/samples"
+REF_SAMPLES = reference_path("samples")
 
 from ccv_tpu.core.io import read, IO_GRAY
 from ccv_tpu.detectors import sift
 
 
-requires_reference = pytest.mark.skipif(
-    not os.path.isdir(REF_SAMPLES), reason="reference samples not available")
+from conftest import requires_reference  # content-checked skip
 
 
 @pytest.fixture(scope="module")

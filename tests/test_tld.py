@@ -7,6 +7,7 @@ region of street.png — on self-similar texture (e.g. a chessboard) TLD's
 detector legitimately cannot disambiguate the target, reference included.
 """
 
+from conftest import reference_path
 import numpy as np
 import pytest
 
@@ -25,7 +26,7 @@ BOX0 = (440, 150, 60, 120)  # the pedestrian in street.png
 def frames():
     from ccv_tpu.core.io import read, IO_GRAY
 
-    img = np.asarray(read("/root/reference/samples/street.png",
+    img = np.asarray(read(reference_path("samples/street.png"),
                           IO_GRAY).numpy())
     shifts = [(0, 0), (3, 2), (6, 4), (9, 6)]
     H, W = img.shape[0] - 12, img.shape[1] - 12
@@ -70,7 +71,7 @@ def test_tld_tracks_shift_small_frames():
     from ccv_tpu.core.io import read, IO_GRAY
     from ccv_tpu.detectors import tld
 
-    img = np.asarray(read("/root/reference/samples/street.png",
+    img = np.asarray(read(reference_path("samples/street.png"),
                           IO_GRAY).numpy())[100:260, 390:550]
     box0 = (40, 40, 48, 80)
     shifts = [(0, 0), (3, 2)]
