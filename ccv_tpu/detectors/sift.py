@@ -194,15 +194,22 @@ ORI_WIN = 16  # max orientation window radius: 3*1.5*scale(max~3.2)+.5 ~ 15
 
 
 @jax.jit
-def orientation_bins(th, md, kxs, kys, scales, levels):
+def orientation_bins(th, md, kxs, kys, scales, levels, valid):
     """Smoothed 36-bin orientation histograms for a batch of keypoints.
 
     th/md: (L-3, H, W) gradient pyramids of one octave; kxs/kys in octave
-    coordinates. Returns (N, 36) float64-ish bins (f32 here).
+    coordinates; `valid` zeroes padded slots (count bucketing). Returns
+    (N, 36) f32 bins.
+
+    TPU redesign (round 3): the reference's per-pixel 2-tap scatter into
+    the histogram (ccv_sift.c:352-366) is a circular tent kernel — each
+    pixel's weight to bin b is max(0, 1 - circdist(fbin-0.5, b)).  So the
+    whole histogram is one (1,P)x(P,36) matmul per keypoint, batched over
+    keypoints on the MXU: no scatters, no serial adds.
     """
     Lg, H, W = th.shape
 
-    def one(kx, ky, scale, level):
+    def one(kx, ky, scale, level, vmask):
         ix = (kx + 0.5).astype(jnp.int32)
         iy = (ky + 0.5).astype(jnp.int32)
         sigmaw = 1.5 * scale
@@ -218,14 +225,12 @@ def orientation_bins(th, md, kxs, kys, scales, levels):
         r2 = (xx - kx) ** 2 + (yy - ky) ** 2
         inside &= r2 <= wz * wz + 0.6
         weight = _expn(r2 / (2.0 * sigmaw * sigmaw))
-        fbin = t * 0.1
-        ibin = jnp.floor(fbin - 0.5).astype(jnp.int32)
-        rbin = fbin - ibin - 0.5
-        w1 = jnp.where(inside, (1 - rbin) * m * weight, 0.0)
-        w2 = jnp.where(inside, rbin * m * weight, 0.0)
-        b1 = jnp.mod(ibin + 36, 36).reshape(-1)
-        b2 = jnp.mod(ibin + 1, 36).reshape(-1)
-        bins = jnp.zeros(36).at[b1].add(w1.reshape(-1)).at[b2].add(w2.reshape(-1))
+        mw = jnp.where(inside, m * weight, 0.0).reshape(-1) * vmask
+        fbin = (t * 0.1 - 0.5).reshape(-1)  # tent center coordinate
+        d = jnp.abs(fbin[:, None] - jnp.arange(36.0)[None, :])
+        tri = jnp.maximum(0.0, 1.0 - jnp.minimum(d, 36.0 - d))  # (P, 36)
+        bins = jnp.matmul(mw[None, :], tri,
+                          preferred_element_type=jnp.float32)[0]
 
         def smooth(_, bins):
             prev = jnp.roll(bins, 1)
@@ -234,18 +239,34 @@ def orientation_bins(th, md, kxs, kys, scales, levels):
 
         return jax.lax.fori_loop(0, 6, smooth, bins)
 
-    return jax.vmap(one)(kxs, kys, scales, levels)
+    return jax.vmap(one)(kxs, kys, scales, levels, valid)
 
 
 DESC_WIN = 56  # max descriptor window radius: 3*scale*sqrt(2)*2.5+0.5
+_DESC_CHUNK = 128  # keypoints per lax.map chunk (bounds A's HBM footprint)
 
 
 @jax.jit
-def descriptors(th, md, kxs, kys, scales, levels, angles):
-    """4x4x8 SIFT descriptors for a batch of keypoints (one octave)."""
-    Lg, H, W = th.shape
+def descriptors(th, md, kxs, kys, scales, levels, angles, valid):
+    """4x4x8 SIFT descriptors for a batch of keypoints (one octave).
 
-    def one(kx, ky, scale, level, angle):
+    TPU redesign (round 3): the reference's trilinear scatter
+    (ccv_sift.c:391-470) factorizes exactly — each pixel contributes
+    weight(p) * tent_y(p,by) * tent_x(p,bx) * tent_t(p,bt), so
+
+        desc[(by,bx), bt] = sum_p A[p, (by,bx)] * B[p, bt]
+
+    with A = weight x spatial tents (P,16) and B = circular orientation
+    tents (P,8).  One (16,P)x(P,8) matmul per keypoint, batched over a
+    lax.map chunk of keypoints: pure MXU work, zero scatters (the previous
+    form did 8 serial .at[].add scatters per keypoint and was 50x slower
+    than the reference's single-core C loop).
+    """
+    Lg, H, W = th.shape
+    centers = jnp.array([-1.5, -0.5, 0.5, 1.5], jnp.float32)
+
+    def one(args):
+        kx, ky, scale, level, angle, vmask = args
         ix = (kx + 0.5).astype(jnp.int32)
         iy = (ky + 0.5).astype(jnp.int32)
         SBP = 3.0 * scale
@@ -261,28 +282,22 @@ def descriptors(th, md, kxs, kys, scales, levels, angles):
         ca, sa = jnp.cos(angle), jnp.sin(angle)
         fx = xx - kx
         fy = yy - ky
-        nx = (ca * fx + sa * fy) / SBP
-        ny = (-sa * fx + ca * fy) / SBP
-        nt = 8.0 * jnp.mod(t * (math.pi / 180.0) - angle, 2.0 * math.pi) / (2.0 * math.pi)
-        weight = _expn((nx * nx + ny * ny) / (2.0 * 2.0 * 2.0)) * m
-        binx = jnp.floor(nx - 0.5).astype(jnp.int32)
-        biny = jnp.floor(ny - 0.5).astype(jnp.int32)
-        bint = jnp.floor(nt).astype(jnp.int32)
-        rbinx = nx - (binx + 0.5)
-        rbiny = ny - (biny + 0.5)
-        rbint = nt - bint
-        desc = jnp.zeros(128)
-        for dbx in (0, 1):
-            for dby in (0, 1):
-                for dbt in (0, 1):
-                    bx = binx + dbx
-                    by = biny + dby
-                    ok = inside & (bx >= -2) & (bx < 2) & (by >= -2) & (by < 2)
-                    idx = (2 + by) * 32 + (2 + bx) * 8 + jnp.mod(bint + dbt, 8)
-                    w = (weight * jnp.abs(1 - dbx - rbinx)
-                         * jnp.abs(1 - dby - rbiny) * jnp.abs(1 - dbt - rbint))
-                    desc = desc.at[jnp.where(ok, idx, 128).reshape(-1)].add(
-                        jnp.where(ok, w, 0.0).reshape(-1), mode="drop")
+        nx = ((ca * fx + sa * fy) / SBP).reshape(-1)
+        ny = ((-sa * fx + ca * fy) / SBP).reshape(-1)
+        nt = (8.0 * jnp.mod(t * (math.pi / 180.0) - angle, 2.0 * math.pi)
+              / (2.0 * math.pi)).reshape(-1)
+        weight = (_expn((nx * nx + ny * ny) / (2.0 * 2.0 * 2.0))
+                  * m.reshape(-1)
+                  * jnp.where(inside.reshape(-1), vmask, 0.0))
+        # spatial tents: bin bx gets |1-dbx-rbinx| = max(0, 1-|nx-(bx+.5)|)
+        tx = jnp.maximum(0.0, 1.0 - jnp.abs(nx[:, None] - centers))  # (P,4)
+        ty = jnp.maximum(0.0, 1.0 - jnp.abs(ny[:, None] - centers))  # (P,4)
+        A = ((weight[:, None] * ty)[:, :, None] * tx[:, None, :]).reshape(-1, 16)
+        # circular orientation tents over 8 bins (period 8)
+        dtt = jnp.abs(nt[:, None] - jnp.arange(8.0)[None, :])
+        B = jnp.maximum(0.0, 1.0 - jnp.minimum(dtt, 8.0 - dtt))  # (P,8)
+        desc = jnp.matmul(A.T, B,
+                          preferred_element_type=jnp.float32).reshape(128)
         # L2 normalize, clip at 0.2, renormalize (ccv_sift.c:455-470)
         norm = jnp.sqrt(jnp.sum(desc * desc))
         desc = desc / jnp.maximum(norm, 1e-12)
@@ -290,7 +305,42 @@ def descriptors(th, md, kxs, kys, scales, levels, angles):
         desc = desc / jnp.maximum(jnp.sqrt(jnp.sum(desc * desc)), 1e-12)
         return desc
 
-    return jax.vmap(one)(kxs, kys, scales, levels, angles)
+    return jax.lax.map(one, (kxs, kys, scales, levels, angles, valid),
+                       batch_size=_DESC_CHUNK)
+
+
+def _bucket(n: int) -> int:
+    """Round a keypoint count up to a power of two (min 32) so repeated
+    calls hit the jit compile cache (the SWT _BUCKETS pattern)."""
+    b = 32
+    while b < n:
+        b *= 2
+    return b
+
+
+def _pad(arr, b, fill=0.0, dtype=np.float32):
+    out = np.full(b, fill, dtype)
+    out[: len(arr)] = arr
+    return out
+
+
+def _find_peaks(bins: np.ndarray):
+    """Vectorized twin of the reference's orientation-peak scan
+    (ccv_sift.c:370-385): the argmax bin always qualifies; any other
+    strict local max above 0.8*max also does. Returns (kp_index, angle)
+    arrays over all (keypoint, orientation) entries."""
+    N = bins.shape[0]
+    bp = np.roll(bins, -1, 1)
+    bm = np.roll(bins, 1, 1)
+    mx = bins.max(1)
+    peak = (bins > 0.8 * mx[:, None]) & (bins > bp) & (bins > bm)
+    peak[np.arange(N), bins.argmax(1)] = True
+    den = bp + bm - 2.0 * bins
+    with np.errstate(divide="ignore", invalid="ignore"):
+        di = np.where(den != 0, -0.5 * (bp - bm) / den, 0.0)
+    ang = 2.0 * math.pi * (np.arange(36)[None, :] + di + 0.5) / 36.0
+    ns, js = np.nonzero(peak)
+    return ns, ang[ns, js]
 
 
 def sift(a, params: Optional[SiftParams] = None, want_desc: bool = True):
@@ -298,6 +348,10 @@ def sift(a, params: Optional[SiftParams] = None, want_desc: bool = True):
 
     keypoints: list of dicts {x, y, octave, level, scale, angle} in input
     coordinates; descriptors: (N, 128) float32 numpy or None.
+
+    Pipelined: all octaves' pyramid+extrema programs are dispatched before
+    the first host sync; orientation and descriptor batches are dispatched
+    per octave as soon as the previous stage's (small) outputs land.
     """
     from ccv_tpu.core.dense_matrix import as_array
 
@@ -322,8 +376,8 @@ def sift(a, params: Optional[SiftParams] = None, want_desc: bool = True):
     all_octaves = ([(-1, octaves[0][1])] if params.up2x else []) + [
         (i, chain[i]) for i in range(params.noctaves)]
 
-    keypoints = []
-    desc_rows = []
+    # stage 1: dispatch every octave's pyramid + extrema program (async)
+    staged = []
     for oct_i, g0 in all_octaves:
         if oct_i == -1:
             # the upsampled octave starts at sigma sqrt(2)
@@ -347,6 +401,11 @@ def sift(a, params: Optional[SiftParams] = None, want_desc: bool = True):
             _, dog, th, md = build_octave(g0, nlevels)
         valid, kx, ky, ks = find_keypoints(
             dog, params.peak_threshold, params.edge_threshold, nlevels)
+        staged.append((oct_i, th, md, valid, kx, ky, ks))
+
+    # stage 2: sync the (tiny) extrema planes, dispatch orientation batches
+    stage2 = []
+    for oct_i, th, md, valid, kx, ky, ks in staged:
         v = np.asarray(valid)
         if not v.any():
             continue
@@ -355,47 +414,46 @@ def sift(a, params: Optional[SiftParams] = None, want_desc: bool = True):
         kys = np.asarray(ky)[lvl, ys, xs]
         kss = np.asarray(ks)[lvl, ys, xs]
         level = lvl + 1  # refine_level j = lvl+1
-        s = 2.0 ** oct_i
         sigma = SIGMA0 * sigmak * np.power(2.0, kss / (nlevels - 3))
-        # orientation
-        bins = np.asarray(orientation_bins(
-            th, md, jnp.asarray(kxs, jnp.float32), jnp.asarray(kys, jnp.float32),
-            jnp.asarray(sigma, jnp.float32), jnp.asarray(level - 1, jnp.int32)))
-        for n in range(len(kxs)):
-            b = bins[n]
-            maxib = int(np.argmax(b))
-            entries = [maxib]
-            maxb = b[maxib] * 0.8
-            for j2 in range(36):
-                if j2 != maxib and b[j2] > maxb and b[j2] > b[(j2 - 1) % 36] and b[j2] > b[(j2 + 1) % 36]:
-                    entries.append(j2)
-            for e in entries:
-                bm = b[(e + 35) % 36]
-                bp = b[(e + 1) % 36]
-                den = bp + bm - 2 * b[e]
-                di = -0.5 * (bp - bm) / den if den != 0 else 0.0
-                angle = 2 * math.pi * (e + di + 0.5) / 36.0
-                keypoints.append(dict(
-                    x=float(kxs[n] * s), y=float(kys[n] * s), octave=oct_i,
-                    level=int(level[n]), scale=float(sigma[n]),
-                    angle=float(angle), _ox=float(kxs[n]), _oy=float(kys[n])))
-        if want_desc:
-            okp = [k2 for k2 in keypoints if k2["octave"] == oct_i and "_done" not in k2]
-            if okp:
-                d = np.asarray(descriptors(
-                    th, md,
-                    jnp.asarray([k2["_ox"] for k2 in okp], jnp.float32),
-                    jnp.asarray([k2["_oy"] for k2 in okp], jnp.float32),
-                    jnp.asarray([k2["scale"] for k2 in okp], jnp.float32),
-                    jnp.asarray([k2["level"] - 1 for k2 in okp], jnp.int32),
-                    jnp.asarray([k2["angle"] for k2 in okp], jnp.float32)))
-                desc_rows.append(d)
-                for k2 in okp:
-                    k2["_done"] = True
-    for k2 in keypoints:
-        k2.pop("_done", None)
-        k2.pop("_ox", None)
-        k2.pop("_oy", None)
+        n = len(kxs)
+        b = _bucket(n)
+        vmask = np.zeros(b, np.float32)
+        vmask[:n] = 1.0
+        bins_dev = orientation_bins(
+            th, md,
+            jnp.asarray(_pad(kxs, b)), jnp.asarray(_pad(kys, b)),
+            jnp.asarray(_pad(sigma, b, fill=1.0)),
+            jnp.asarray(_pad(level - 1, b, dtype=np.int32), jnp.int32),
+            jnp.asarray(vmask))
+        stage2.append((oct_i, th, md, kxs, kys, sigma, level, n, bins_dev))
+
+    # stage 3: sync bins, vectorized peak expansion, dispatch descriptors
+    keypoints = []
+    stage3 = []
+    for oct_i, th, md, kxs, kys, sigma, level, n, bins_dev in stage2:
+        bins = np.asarray(bins_dev)[:n]
+        ns, angs = _find_peaks(bins)
+        s = 2.0 ** oct_i
+        for i in range(len(ns)):
+            k = int(ns[i])
+            keypoints.append(dict(
+                x=float(kxs[k] * s), y=float(kys[k] * s), octave=oct_i,
+                level=int(level[k]), scale=float(sigma[k]),
+                angle=float(angs[i])))
+        if want_desc and len(ns):
+            ne = len(ns)
+            be = _bucket(ne)
+            vmask = np.zeros(be, np.float32)
+            vmask[:ne] = 1.0
+            d_dev = descriptors(
+                th, md,
+                jnp.asarray(_pad(kxs[ns], be)), jnp.asarray(_pad(kys[ns], be)),
+                jnp.asarray(_pad(sigma[ns], be, fill=1.0)),
+                jnp.asarray(_pad(level[ns] - 1, be, dtype=np.int32), jnp.int32),
+                jnp.asarray(_pad(angs, be)), jnp.asarray(vmask))
+            stage3.append((d_dev, ne))
+
+    desc_rows = [np.asarray(d)[:ne] for d, ne in stage3]
     desc = np.concatenate(desc_rows, 0).astype(np.float32) if desc_rows else None
     return keypoints, desc
 
