@@ -200,6 +200,72 @@ class TestTensorIO:
         np.testing.assert_array_equal(back, arr)
         assert tensor_io.list_tensors(conn) == ["x"]
 
+    def test_encode_decode_hooks(self, tmp_path):
+        """Pluggable encode/decode (ccv_nnc.h:674-699): an xor-'cipher'
+        round trip, with identifier carried in the type high bits."""
+        from ccv_tpu.nn import tensor_io
+
+        def enc(name, data, tag, shape):
+            return bytes(b ^ 0x5A for b in data), 0x77
+
+        def dec(name, data, tag, shape, identifier):
+            if identifier != 0x77:
+                return None
+            raw = bytes(b ^ 0x5A for b in data)
+            return np.frombuffer(raw, tensor_io._np_dtype(tag)).reshape(shape)
+
+        opts = tensor_io.TensorIoOptions(encode=enc, decode=dec)
+        p = str(tmp_path / "t.sqlite3")
+        conn = tensor_io.open_db(p)
+        arr = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+        tensor_io.tensor_write(conn, "x", arr, options=opts)
+        conn.commit()
+        # the stored bytes are ciphered, and the identifier is recorded
+        blob, type_ = conn.execute(
+            "SELECT data, type FROM tensors WHERE name='x'").fetchone()
+        assert not np.array_equal(
+            np.frombuffer(blob, np.float32).reshape(2, 3, 4), arr)
+        assert (type_ >> 32) & 0xFFFFFFFF == 0x77
+        back = tensor_io.tensor_read(conn, "x", options=opts)
+        np.testing.assert_array_equal(back, arr)
+
+    def test_external_store_mmap(self, tmp_path):
+        """External-store hooks + zero-copy mmap read-back."""
+        from ccv_tpu.nn import tensor_io
+
+        p = str(tmp_path / "t.sqlite3")
+        store = tensor_io.ExternalStore(str(tmp_path / "t.bin"))
+        conn = tensor_io.open_db(p)
+        a = np.arange(12, dtype=np.float32).reshape(3, 4)
+        b = np.arange(6, dtype=np.float16).reshape(2, 3) * 0.5
+        tensor_io.tensor_write(conn, "a", a, options=store.options())
+        tensor_io.tensor_write(conn, "b", b, options=store.options())
+        tensor_io.tensor_write(conn, "plain", a)  # raw row coexists
+        conn.commit()
+        back_a = tensor_io.tensor_read(conn, "a", options=store.options())
+        back_b = tensor_io.tensor_read(conn, "b", options=store.options())
+        np.testing.assert_array_equal(back_a, a)
+        np.testing.assert_array_equal(back_b, b)
+        assert isinstance(back_a.base, np.memmap) or isinstance(
+            back_a, np.memmap)
+        np.testing.assert_array_equal(
+            tensor_io.tensor_read(conn, "plain", options=store.options()), a)
+        # the sqlite rows carry only (offset, size)
+        blob = conn.execute(
+            "SELECT data FROM tensors WHERE name='a'").fetchone()[0]
+        assert len(blob) == 16
+
+    def test_tensor_new_from_file(self, tmp_path):
+        from ccv_tpu.nn import tensor_io
+
+        arr = np.random.default_rng(1).standard_normal((7, 5)).astype(np.float32)
+        p = str(tmp_path / "raw.bin")
+        arr.tofile(p)
+        mm = tensor_io.tensor_new_from_file(p, np.float32, (7, 5))
+        np.testing.assert_array_equal(np.asarray(mm), arr)
+        mm2 = tensor_io.tensor_new_from_file(p, 0x04000, (35,))
+        np.testing.assert_array_equal(np.asarray(mm2), arr.reshape(-1))
+
 
 class TestPalettize:
     @pytest.mark.parametrize("qbits", [4, 5, 6, 7, 8])
