@@ -518,7 +518,7 @@ def _get_icf_octave_fn(casc: IcfCascade, src_shape, lvls, step: int,
                 image = _gray_u8_graph(image)[..., None]
             image = jnp.pad(image, [(mt, mb), (ml, mr), (0, 0)])
             chans = icf_channels(image[..., 0] if gray else image)
-            sat = algebra.sat(chans, padding=algebra.PADDING_ZERO)
+            sat = algebra.sat_auto(chans, padding=algebra.PADDING_ZERO)
             sat = sat.astype(jnp.float32)
             ds.append(_icf_im2col(sat, ny, nx, step, th, tw).astype(cdt))
         D = jnp.concatenate(ds, axis=0) if len(ds) > 1 else ds[0]
@@ -601,7 +601,7 @@ def _get_icf_level_fn(casc: IcfCascade, src_shape, rows: int, cols: int,
             image = _gray_u8_graph(image)[..., None]
         image = jnp.pad(image, [(mt, mb), (ml, mr), (0, 0)])
         chans = icf_channels(image[..., 0] if gray else image)
-        sat = algebra.sat(chans, padding=algebra.PADDING_ZERO)
+        sat = algebra.sat_auto(chans, padding=algebra.PADDING_ZERO)
         sat = sat.astype(jnp.float32)
         idx, passed, conf, counts = _eval_level_staged(
             sat, idxs[0], idxs[1], idxs[2], tabs["phases"],
@@ -936,7 +936,7 @@ def detect_multiscale(a, ms: IcfMultiscaleCascade,
     step = params.step_through
     for octave, level in enumerate(pyr):
         chans = icf_channels(level[..., 0] if ms.grayscale else level)
-        sat = algebra.sat(chans, padding=algebra.PADDING_ZERO).astype(
+        sat = algebra.sat_auto(chans, padding=algebra.PADDING_ZERO).astype(
             jnp.float32)
         mrows, mcols = sat.shape[0] - 1, sat.shape[1] - 1
         for casc in ms.cascades:

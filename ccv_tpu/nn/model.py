@@ -271,9 +271,24 @@ class Sequential:
         return float(loss)
 
     def evaluate(self, inputs):
-        """Forward pass (model.c:1848)."""
+        """Forward pass (model.c:1848).
+
+        Always runs as ONE jitted program: an uncompiled model gets a
+        lazily-built inference jit (the MULTISTAGE_NO_GRAD analog,
+        model.c:2006). Eager per-layer dispatch is only for __call__ —
+        round-tripping ~40 layer dispatches through a tunneled device
+        measured 12x slower than the compiled program on VGG-D."""
         if self._eval_fn is None:
-            return self(inputs, training=False)
+            if self.params is None:
+                self.build(inputs.shape if hasattr(inputs, "shape")
+                           else np.shape(inputs))
+
+            def eval_step(params, states, x):
+                out, _ = self._forward(params, states, x, False,
+                                       jax.random.PRNGKey(0))
+                return out
+
+            self._eval_fn = jax.jit(eval_step)
         return self._eval_fn(self.params, self.state, inputs)
 
     def backward(self, inputs, fits):
