@@ -190,11 +190,34 @@ def find_keypoints(dog, peak_threshold: float, edge_threshold: float,
     return valid, kx, ky, ks
 
 
+@partial(jax.jit, static_argnames=("nlevels", "cap"))
+def find_keypoints_compact(dog, peak_threshold: float, edge_threshold: float,
+                           nlevels: int, cap: int):
+    """find_keypoints + on-device compaction to `cap` lanes.
+
+    Transferring the dense (L, H, W) planes to the host costs ~75 MB per
+    octave — multiple seconds over a tunneled device link; the compacted
+    form is a few KB. Returns (count, kxs, kys, kss, levels): `count` is
+    the true keypoint total (host re-runs at a bigger cap on overflow,
+    the SWT lane-rebucketing pattern)."""
+    valid, kx, ky, ks = find_keypoints(dog, peak_threshold, edge_threshold,
+                                       nlevels)
+    L, H, W = valid.shape
+    flat = valid.reshape(-1)
+    count = flat.sum(dtype=jnp.int32)
+    (idx,) = jnp.nonzero(flat, size=cap, fill_value=0)
+    lane = jnp.arange(cap) < count
+    kxs = jnp.where(lane, kx.reshape(-1)[idx], 0.0)
+    kys = jnp.where(lane, ky.reshape(-1)[idx], 0.0)
+    kss = jnp.where(lane, ks.reshape(-1)[idx], 1.0)
+    levels = jnp.where(lane, (idx // (H * W)).astype(jnp.int32) + 1, 1)
+    return count, kxs, kys, kss, levels
+
+
 ORI_WIN = 16  # max orientation window radius: 3*1.5*scale(max~3.2)+.5 ~ 15
 
 
-@jax.jit
-def orientation_bins(th, md, kxs, kys, scales, levels, valid):
+def _orientation_core(th, md, kxs, kys, scales, levels, valid):
     """Smoothed 36-bin orientation histograms for a batch of keypoints.
 
     th/md: (L-3, H, W) gradient pyramids of one octave; kxs/kys in octave
@@ -242,12 +265,13 @@ def orientation_bins(th, md, kxs, kys, scales, levels, valid):
     return jax.vmap(one)(kxs, kys, scales, levels, valid)
 
 
+orientation_bins = jax.jit(_orientation_core)
+
 DESC_WIN = 56  # max descriptor window radius: 3*scale*sqrt(2)*2.5+0.5
 _DESC_CHUNK = 128  # keypoints per lax.map chunk (bounds A's HBM footprint)
 
 
-@jax.jit
-def descriptors(th, md, kxs, kys, scales, levels, angles, valid):
+def _descriptors_core(th, md, kxs, kys, scales, levels, angles, valid):
     """4x4x8 SIFT descriptors for a batch of keypoints (one octave).
 
     TPU redesign (round 3): the reference's trilinear scatter
@@ -309,6 +333,96 @@ def descriptors(th, md, kxs, kys, scales, levels, angles, valid):
                        batch_size=_DESC_CHUNK)
 
 
+descriptors = jax.jit(_descriptors_core)
+
+
+def _build_pyramids(g0, nlevels: int, up2x_octave: bool):
+    """Gaussian chain -> (dog, th, md) stacks for one octave
+    (ccv_sift.c:233-270; the -1 octave starts at sigma sqrt(2))."""
+    sigmak = 2.0 ** (1.0 / (nlevels - 3))
+    dsigma0 = SIGMA0 * sigmak * math.sqrt(1.0 - 1.0 / (sigmak * sigmak))
+    if up2x_octave:
+        g = basic.blur(g0.astype(jnp.float32),
+                       math.sqrt(SIGMA0 * SIGMA0 - 2.0))
+    else:
+        g = basic.blur(g0.astype(jnp.float32),
+                       math.sqrt(SIGMA0 * SIGMA0 - 0.25))
+    dogs, ths, mds = [], [], []
+    for j in range(1, nlevels):
+        gn = basic.blur(g, dsigma0 * sigmak ** (j - 1))
+        dogs.append(gn - g)
+        if 1 < j < nlevels - 1:
+            t_, m_ = basic.gradient(g)
+            ths.append(t_)
+            mds.append(m_)
+        g = gn
+    return jnp.stack(dogs), jnp.stack(ths), jnp.stack(mds)
+
+
+@partial(jax.jit, static_argnames=("nlevels", "cap", "cap_e", "want_desc",
+                                   "up2x_octave"))
+def _octave_program(g0, peak_threshold: float, edge_threshold: float,
+                    nlevels: int, cap: int, cap_e: int, want_desc: bool,
+                    up2x_octave: bool):
+    """The WHOLE per-octave pipeline as one device program: pyramid ->
+    extrema+refine -> compact to `cap` keypoint lanes -> orientation
+    histograms -> peak selection -> compact to `cap_e` (keypoint, angle)
+    entries -> descriptors.
+
+    One program, one small transfer: the previous staged form synced the
+    dense (L, H, W) planes per stage — measured 12.9 s of a 13.7 s
+    sift() call was device->host transfer over the tunneled link. Caps
+    are bucketed from per-shape hints; the true counts ride back with the
+    results, and the host re-runs an octave at bigger caps on overflow
+    (the SWT lane-rebucketing pattern)."""
+    sigmak = 2.0 ** (1.0 / (nlevels - 3))
+    dog, th, md = _build_pyramids(g0, nlevels, up2x_octave)
+    L, H, W = dog.shape
+
+    valid, kx, ky, ks = find_keypoints(dog, peak_threshold, edge_threshold,
+                                       nlevels)
+    flat = valid.reshape(-1)
+    count = flat.sum(dtype=jnp.int32)
+    (idx,) = jnp.nonzero(flat, size=cap, fill_value=0)
+    lane = jnp.arange(cap) < count
+    kxs = jnp.where(lane, kx.reshape(-1)[idx], 0.0)
+    kys = jnp.where(lane, ky.reshape(-1)[idx], 0.0)
+    kss = jnp.where(lane, ks.reshape(-1)[idx], 1.0)
+    levels = jnp.where(lane, (idx // (H * W)).astype(jnp.int32) + 1, 1)
+    sigma = SIGMA0 * sigmak * jnp.power(2.0, kss / (nlevels - 3))
+    vmask = lane.astype(jnp.float32)
+
+    bins = _orientation_core(th, md, kxs, kys, sigma, levels - 1, vmask)
+
+    # orientation peaks, fully on device (ccv_sift.c:370-385): argmax
+    # always qualifies; other strict local maxima above 0.8*max also do
+    bp = jnp.roll(bins, -1, 1)
+    bm = jnp.roll(bins, 1, 1)
+    mx = bins.max(1)
+    peak = (bins > 0.8 * mx[:, None]) & (bins > bp) & (bins > bm)
+    maxhot = jax.nn.one_hot(jnp.argmax(bins, 1), 36, dtype=bool)
+    peak = (peak | maxhot) & lane[:, None]
+    den = bp + bm - 2.0 * bins
+    di = jnp.where(den != 0, -0.5 * (bp - bm) / den, 0.0)
+    ang = (2.0 * math.pi / 36.0) * (jnp.arange(36.0)[None, :] + di + 0.5)
+
+    ecount = peak.sum(dtype=jnp.int32)
+    (eidx,) = jnp.nonzero(peak.reshape(-1), size=cap_e, fill_value=0)
+    elane = jnp.arange(cap_e) < ecount
+    ekp = (eidx // 36).astype(jnp.int32)
+    eang = jnp.where(elane, ang.reshape(-1)[eidx], 0.0)
+    ekx = kxs[ekp]
+    eky = kys[ekp]
+    esig = jnp.where(elane, sigma[ekp], 1.0)
+    elvl = levels[ekp]
+    out = dict(count=count, ecount=ecount, ekp=ekp, ekx=ekx, eky=eky,
+               esig=esig, elvl=elvl, eang=eang)
+    if want_desc:
+        out["desc"] = _descriptors_core(th, md, ekx, eky, esig, elvl - 1,
+                                        eang, elane.astype(jnp.float32))
+    return out
+
+
 def _bucket(n: int) -> int:
     """Round a keypoint count up to a power of two (min 32) so repeated
     calls hit the jit compile cache (the SWT _BUCKETS pattern)."""
@@ -318,29 +432,7 @@ def _bucket(n: int) -> int:
     return b
 
 
-def _pad(arr, b, fill=0.0, dtype=np.float32):
-    out = np.full(b, fill, dtype)
-    out[: len(arr)] = arr
-    return out
-
-
-def _find_peaks(bins: np.ndarray):
-    """Vectorized twin of the reference's orientation-peak scan
-    (ccv_sift.c:370-385): the argmax bin always qualifies; any other
-    strict local max above 0.8*max also does. Returns (kp_index, angle)
-    arrays over all (keypoint, orientation) entries."""
-    N = bins.shape[0]
-    bp = np.roll(bins, -1, 1)
-    bm = np.roll(bins, 1, 1)
-    mx = bins.max(1)
-    peak = (bins > 0.8 * mx[:, None]) & (bins > bp) & (bins > bm)
-    peak[np.arange(N), bins.argmax(1)] = True
-    den = bp + bm - 2.0 * bins
-    with np.errstate(divide="ignore", invalid="ignore"):
-        di = np.where(den != 0, -0.5 * (bp - bm) / den, 0.0)
-    ang = 2.0 * math.pi * (np.arange(36)[None, :] + di + 0.5) / 36.0
-    ns, js = np.nonzero(peak)
-    return ns, ang[ns, js]
+_CAP_HINT: dict = {}   # (H, W, octave) -> (count, entry count) last seen
 
 
 def sift(a, params: Optional[SiftParams] = None, want_desc: bool = True):
@@ -349,9 +441,9 @@ def sift(a, params: Optional[SiftParams] = None, want_desc: bool = True):
     keypoints: list of dicts {x, y, octave, level, scale, angle} in input
     coordinates; descriptors: (N, 128) float32 numpy or None.
 
-    Pipelined: all octaves' pyramid+extrema programs are dispatched before
-    the first host sync; orientation and descriptor batches are dispatched
-    per octave as soon as the previous stage's (small) outputs land.
+    Every octave runs as ONE fused device program (_octave_program); all
+    octaves dispatch before a single batched device_get — in steady state
+    one transfer and zero mid-pipeline syncs per image.
     """
     from ccv_tpu.core.dense_matrix import as_array
 
@@ -360,100 +452,63 @@ def sift(a, params: Optional[SiftParams] = None, want_desc: bool = True):
     if img.ndim == 3:
         img = img[..., 0]
     nlevels = params.nlevels
-    sigmak = 2.0 ** (1.0 / (nlevels - 3))
 
-    octaves = []  # (octave_index, g0)
-    if params.up2x:
-        up = resample.sample_up(img)
-        octaves.append((-1, up))
-    octaves.append((0, img))
-
-    # build pyramids octave by octave (next octave = sample_down of the
-    # previous octave's g[0]-equivalent, matching ccv_sift.c:233)
+    # octave inputs: next octave = sample_down of the previous octave's
+    # g[0]-equivalent (ccv_sift.c:233); -1 = the 2x upsampled octave
     chain = [img]
     for oi in range(1, params.noctaves):
         chain.append(resample.sample_down(chain[-1]))
-    all_octaves = ([(-1, octaves[0][1])] if params.up2x else []) + [
+    all_octaves = ([(-1, resample.sample_up(img))] if params.up2x else []) + [
         (i, chain[i]) for i in range(params.noctaves)]
 
-    # stage 1: dispatch every octave's pyramid + extrema program (async)
+    def dispatch(oct_i, g0, cap, cap_e):
+        return _octave_program(
+            g0, params.peak_threshold, params.edge_threshold, nlevels,
+            cap, cap_e, want_desc, oct_i == -1)
+
     staged = []
     for oct_i, g0 in all_octaves:
-        if oct_i == -1:
-            # the upsampled octave starts at sigma sqrt(2)
-            sd = math.sqrt(SIGMA0 * SIGMA0 - 2.0)
-            g1 = basic.blur(g0.astype(jnp.float32), sd)
-            dsigma0 = SIGMA0 * sigmak * math.sqrt(1.0 - 1.0 / (sigmak * sigmak))
-            g = g1
-            dogs, ths, mds = [], [], []
-            for j in range(1, nlevels):
-                gn = basic.blur(g, dsigma0 * sigmak ** (j - 1))
-                dogs.append(gn - g)
-                if 1 < j < nlevels - 1:
-                    t_, m_ = basic.gradient(g)
-                    ths.append(t_)
-                    mds.append(m_)
-                g = gn
-            dog = jnp.stack(dogs)
-            th = jnp.stack(ths)
-            md = jnp.stack(mds)
+        hkey = (int(g0.shape[0]), int(g0.shape[1]), oct_i)
+        hint = _CAP_HINT.get(hkey)
+        if hint is None:
+            cap = _bucket((int(g0.shape[0]) * int(g0.shape[1])) // 1024)
+            cap_e = 2 * cap
         else:
-            _, dog, th, md = build_octave(g0, nlevels)
-        valid, kx, ky, ks = find_keypoints(
-            dog, params.peak_threshold, params.edge_threshold, nlevels)
-        staged.append((oct_i, th, md, valid, kx, ky, ks))
+            cap, cap_e = _bucket(hint[0]), _bucket(max(hint[1], 32))
+        staged.append((oct_i, g0, cap, cap_e,
+                       dispatch(oct_i, g0, cap, cap_e)))
 
-    # stage 2: sync the (tiny) extrema planes, dispatch orientation batches
-    stage2 = []
-    for oct_i, th, md, valid, kx, ky, ks in staged:
-        v = np.asarray(valid)
-        if not v.any():
-            continue
-        lvl, ys, xs = np.nonzero(v)
-        kxs = np.asarray(kx)[lvl, ys, xs]
-        kys = np.asarray(ky)[lvl, ys, xs]
-        kss = np.asarray(ks)[lvl, ys, xs]
-        level = lvl + 1  # refine_level j = lvl+1
-        sigma = SIGMA0 * sigmak * np.power(2.0, kss / (nlevels - 3))
-        n = len(kxs)
-        b = _bucket(n)
-        vmask = np.zeros(b, np.float32)
-        vmask[:n] = 1.0
-        bins_dev = orientation_bins(
-            th, md,
-            jnp.asarray(_pad(kxs, b)), jnp.asarray(_pad(kys, b)),
-            jnp.asarray(_pad(sigma, b, fill=1.0)),
-            jnp.asarray(_pad(level - 1, b, dtype=np.int32), jnp.int32),
-            jnp.asarray(vmask))
-        stage2.append((oct_i, th, md, kxs, kys, sigma, level, n, bins_dev))
+    results = jax.device_get([s[4] for s in staged])
 
-    # stage 3: sync bins, vectorized peak expansion, dispatch descriptors
     keypoints = []
-    stage3 = []
-    for oct_i, th, md, kxs, kys, sigma, level, n, bins_dev in stage2:
-        bins = np.asarray(bins_dev)[:n]
-        ns, angs = _find_peaks(bins)
+    desc_rows = []
+    for (oct_i, g0, cap, cap_e, _), r in zip(staged, results):
+        n, ne = int(r["count"]), int(r["ecount"])
+        hkey = (int(g0.shape[0]), int(g0.shape[1]), oct_i)
+        _CAP_HINT[hkey] = (n, ne)
+        # overflowed caps drop keypoints: re-run this octave bigger (the
+        # entry count can only be trusted once the keypoint cap holds)
+        tries = 0
+        while (n > cap or ne > cap_e) and tries < 4:
+            cap = _bucket(n)
+            cap_e = _bucket(max(ne, 32))
+            r = jax.device_get(dispatch(oct_i, g0, cap, cap_e))
+            n, ne = int(r["count"]), int(r["ecount"])
+            _CAP_HINT[hkey] = (n, ne)
+            tries += 1
+        if ne == 0:
+            continue
         s = 2.0 ** oct_i
-        for i in range(len(ns)):
-            k = int(ns[i])
+        ekx, eky = r["ekx"], r["eky"]
+        esig, elvl, eang = r["esig"], r["elvl"], r["eang"]
+        for i in range(ne):
             keypoints.append(dict(
-                x=float(kxs[k] * s), y=float(kys[k] * s), octave=oct_i,
-                level=int(level[k]), scale=float(sigma[k]),
-                angle=float(angs[i])))
-        if want_desc and len(ns):
-            ne = len(ns)
-            be = _bucket(ne)
-            vmask = np.zeros(be, np.float32)
-            vmask[:ne] = 1.0
-            d_dev = descriptors(
-                th, md,
-                jnp.asarray(_pad(kxs[ns], be)), jnp.asarray(_pad(kys[ns], be)),
-                jnp.asarray(_pad(sigma[ns], be, fill=1.0)),
-                jnp.asarray(_pad(level[ns] - 1, be, dtype=np.int32), jnp.int32),
-                jnp.asarray(_pad(angs, be)), jnp.asarray(vmask))
-            stage3.append((d_dev, ne))
+                x=float(ekx[i] * s), y=float(eky[i] * s), octave=oct_i,
+                level=int(elvl[i]), scale=float(esig[i]),
+                angle=float(eang[i])))
+        if want_desc:
+            desc_rows.append(r["desc"][:ne])
 
-    desc_rows = [np.asarray(d)[:ne] for d, ne in stage3]
     desc = np.concatenate(desc_rows, 0).astype(np.float32) if desc_rows else None
     return keypoints, desc
 

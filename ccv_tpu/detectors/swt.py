@@ -358,9 +358,31 @@ def _cc_host(swt_np: np.ndarray, ratio: int = 3) -> np.ndarray:
     """Width-ratio-gated 8-connected components on the host.
 
     Same join rule as `_connected_components` (neighbor widths within
-    `ratio`x), via scipy's C union-find — runs in a few ms while the
-    device crunches the next image, and avoids fetching a label map.
+    `ratio`x). Fast path: the native C++ union-find
+    (native/ccv_tpu_swt.cpp, ~1 ms per VGA polarity — the MSER pattern);
+    fallback: scipy's sparse-graph components (measured 16 ms).
     """
+    from ccv_tpu.core import native
+
+    lib = native.load()
+    if lib is not None and hasattr(lib, "ccv_tpu_swt_cc"):
+        import ctypes
+
+        if not getattr(lib.ccv_tpu_swt_cc, "_configured", False):
+            lib.ccv_tpu_swt_cc.restype = ctypes.c_int
+            lib.ccv_tpu_swt_cc.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.POINTER(ctypes.c_int32)]
+            lib.ccv_tpu_swt_cc._configured = True
+        s8 = np.ascontiguousarray(swt_np, np.uint8)
+        Hh, Ww = s8.shape
+        labels = np.empty((Hh, Ww), np.int32)
+        ncomp = lib.ccv_tpu_swt_cc(
+            s8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), Hh, Ww,
+            ratio, labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        if ncomp >= 0:
+            return labels
+
     import scipy.sparse as sp
     from scipy.sparse.csgraph import connected_components
 
