@@ -87,7 +87,9 @@ def _ray_lanes(hw: int) -> int:
     return min(hw, -(-hw // 6 // 4096) * 4096) or 4096
 
 
-_BUCKETS = (4096, 8192, 16384, 32768, 65536, 131072, 262144)
+_BUCKETS = (2048, 3072, 4096, 6144, 8192, 12288, 16384, 24576, 32768,
+            49152, 65536, 98304, 131072, 196608, 262144)
+_T_BUCKETS = (16, 32, MAX_RAY)
 
 
 def _bucket_for(count: int, hw: int) -> int:
@@ -95,7 +97,8 @@ def _bucket_for(count: int, hw: int) -> int:
 
     Bucketing keeps shapes static (one compile per bucket) while sizing
     the gather/scatter work to the actual edge density instead of the
-    worst case — a 6x saving on sparse-text images.
+    worst case — the ray program is gather-bound, so every wasted lane is
+    ~8 ns x T x 6 families of wasted probes.
     """
     cap = _ray_lanes(hw)
     for b in _BUCKETS:
@@ -104,21 +107,43 @@ def _bucket_for(count: int, hw: int) -> int:
     return cap
 
 
-@partial(jax.jit, static_argnames=("n_rays",))
+def _t_bucket(max_hn: int) -> int:
+    """Smallest ray-length bucket covering the measured longest hit (+2
+    margin). The reference marches each ray serially until it hits or
+    exits (ccv_swt.c:75-135) — its work is proportional to actual stroke
+    widths; marching every lane a fixed 70 steps made the batched program
+    pay 4-5x the necessary gather volume on thin-stroke text."""
+    for t in _T_BUCKETS:
+        if t >= max_hn + 2:
+            return t
+    return MAX_RAY
+
+
+def _m_bucket(total: int, n_rays: int, T: int) -> int:
+    """Path-slot count from the measured live stroke cells (+25% slack),
+    in 8192 steps; capped at the worst case."""
+    cap = min((T + 1) * 6 * n_rays, 24 * n_rays)
+    want = -(-int(total * 1.25 + 1024) // 8192) * 8192
+    return min(want, cap)
+
+
+@partial(jax.jit, static_argnames=("n_rays", "T", "m_slots"))
 def _swt_rays_both(c: jax.Array, dx: jax.Array, dy: jax.Array, n_rays: int,
+                   T: int = MAX_RAY, m_slots: Optional[int] = None,
                    gray8=None):
     """Stroke-width maps for BOTH polarities in one program.
 
     Six ray families (2 polarities x {direct, +rot, -rot}, ccv_swt.c:86)
     march batched on one axis; the two polarities paint into disjoint
-    halves of a single scatter buffer. Returns (2, H, W) uint8
-    (DARK_TO_BRIGHT first; stroke widths are bounded by the 70-step ray
-    length so they fit u8).
+    halves of a single scatter buffer. Returns ((2, H, W) uint8 maps
+    (DARK_TO_BRIGHT first; stroke widths are bounded by the ray cap so
+    they fit u8), stats int32[3] = [unresolved rays, longest hit,
+    live path cells]) — the stats drive the T / lane / slot rebucketing
+    in detect_words, which re-runs bigger on any overflow.
     """
     H, W = c.shape
     N = n_rays
     F = 6
-    T = MAX_RAY
     imax = jnp.iinfo(jnp.int32).max
     cb = c != 0
     dxf = dx.astype(jnp.int32)
@@ -221,6 +246,14 @@ def _swt_rays_both(c: jax.Array, dx: jax.Array, dy: jax.Array, n_rays: int,
     w = jnp.round(jnp.sqrt(d2.astype(jnp.float32))).astype(jnp.int32)
     valid = ok & opp & lane[None]
 
+    # overflow stats: rays still marching (in-bounds, unhit) at the T cap
+    # would hit later — the host re-runs at a bigger T bucket; rays with
+    # zero gradient can never resolve and don't count
+    unresolved = (lane[None] & (maj > 0) & ~stop.any(0)).sum(dtype=jnp.int32)
+    if T >= MAX_RAY:
+        unresolved = jnp.int32(0)
+    max_hn = jnp.max(jnp.where(valid, hn, 0)).astype(jnp.int32)
+
     # -- compact path slots: per-ray contiguous ranges ---------------------
     # Only ~(edge count x mean stroke width) path cells carry scatter
     # updates. Each valid ray owns a contiguous slot range [start, start +
@@ -233,6 +266,8 @@ def _swt_rays_both(c: jax.Array, dx: jax.Array, dy: jax.Array, n_rays: int,
     starts = jnp.cumsum(npath) - npath              # exclusive prefix sum
     total = starts[-1] + npath[-1]
     M = min((T + 1) * FN, 24 * N)                   # overflow drops strokes
+    if m_slots is not None:
+        M = min(M, m_slots)
     m = jnp.arange(M, dtype=jnp.int32)
     # slot -> ray: every valid ray stamps (id+1) at its start slot (starts
     # are strictly increasing over valid rays, so indices are unique) and
@@ -284,14 +319,15 @@ def _swt_rays_both(c: jax.Array, dx: jax.Array, dy: jax.Array, n_rays: int,
     if gray8 is not None:
         # ride the gray plane along so the host needs a single fetch
         out = jnp.concatenate([out, gray8[None]], axis=0)
-    return out
+    stats = jnp.stack([unresolved, max_hn, total])
+    return out, stats
 
 
 def swt_map(c: jax.Array, dx: jax.Array, dy: jax.Array, direction: int):
     """Stroke-width map for one polarity. c: closed edge map (H, W) nonzero;
     dx/dy: int32 sobel. Returns int32 (H, W) stroke widths (0 = none)."""
     H, W = c.shape
-    both = _swt_rays_both(c, dx, dy, _ray_lanes(H * W))
+    both, _ = _swt_rays_both(c, dx, dy, _ray_lanes(H * W))
     return both[0 if direction == 1 else 1].astype(jnp.int32)
 
 
@@ -643,28 +679,37 @@ def detect_words(a, params: Optional[SwtParams] = None) -> List[Comp]:
         c_dev, dx_dev, dy_dev, cnt_dev, gray8 = _swt_frontend(
             pyr, params.size, int(params.low_thresh + 0.5),
             int(params.high_thresh + 0.5))
-        try:
-            cnt_dev.copy_to_host_async()
-        except Exception:  # noqa: BLE001 — backend without async copy
-            pass
-        # lane bucket from the last image of this shape: skips a device
-        # round-trip in steady state; an undershoot (edge count above the
-        # bucket) is detected from the count that rides back with the
-        # results and the ray pass is redone at the right size
+        # size the ray program from this shape's last image: lane count
+        # from the edge count, ray cap T from the longest hit, path slots
+        # from the live stroke cells. Overflows ride back in the stats and
+        # trigger a bigger re-run; steady state is one right-sized program
+        # and a single transfer.
         hint = _COUNT_HINT.get((h_, w_))
-        n_rays = _bucket_for(hint, h_ * w_) if hint is not None else None
-        if n_rays is None:
+        if hint is None:
             n_rays = _bucket_for(int(cnt_dev), h_ * w_)
-        packed = _swt_rays_both(c_dev, dx_dev, dy_dev, n_rays, gray8=gray8)
-        try:
-            packed.copy_to_host_async()
-        except Exception:  # noqa: BLE001
-            pass
-        cnt = int(cnt_dev)
-        _COUNT_HINT[(h_, w_)] = cnt
-        if cnt > n_rays and n_rays < _ray_lanes(h_ * w_):
-            packed = _swt_rays_both(c_dev, dx_dev, dy_dev,
-                                    _bucket_for(cnt, h_ * w_), gray8=gray8)
+            T, m_slots = MAX_RAY, None
+        else:
+            n_rays = _bucket_for(hint[0], h_ * w_)
+            T = _t_bucket(hint[1])
+            m_slots = _m_bucket(hint[2], n_rays, T)
+        for _retry in range(3):
+            packed, stats_dev = _swt_rays_both(
+                c_dev, dx_dev, dy_dev, n_rays, T=T, m_slots=m_slots,
+                gray8=gray8)
+            cnt = int(cnt_dev)
+            stats = np.asarray(stats_dev)
+            unresolved, max_hn, total = map(int, stats)
+            _COUNT_HINT[(h_, w_)] = (cnt, max_hn if not unresolved
+                                     else MAX_RAY, total)
+            lanes_ok = cnt <= n_rays or n_rays >= _ray_lanes(h_ * w_)
+            slot_cap = min((T + 1) * 6 * n_rays, 24 * n_rays)
+            slots_ok = (m_slots is None or total <= m_slots
+                        or m_slots >= slot_cap)  # worst case: strokes drop
+            if lanes_ok and slots_ok and not unresolved:
+                break
+            n_rays = _bucket_for(cnt, h_ * w_)
+            T = MAX_RAY if unresolved else T
+            m_slots = _m_bucket(total, n_rays, T)
         arr = np.asarray(packed)
         sm_np, gray_np = arr[:2], arr[2]
         textlines = []
