@@ -123,7 +123,10 @@ def find_keypoints(dog, peak_threshold: float, edge_threshold: float,
             return jnp.stack(vals, -2).reshape(*ix.shape, 3, 3, 3)  # (.., s, dy, dx)
 
         def solve(N):
-            """quadratic fit: returns (bvec(3), score)."""
+            """quadratic fit via the symmetric 3x3 adjugate (Cramer):
+            closed-form elementwise VPU math — jnp.linalg.solve lowered
+            to a batched-per-pixel LU whose HLO dominated the octave
+            program's (remote) compile time. Returns (bx, by, bs, score)."""
             Dxx = N[..., 1, 1, 0] - 2 * N[..., 1, 1, 1] + N[..., 1, 1, 2]
             Dyy = N[..., 1, 0, 1] - 2 * N[..., 1, 1, 1] + N[..., 1, 2, 1]
             Dxy = (N[..., 1, 2, 2] - N[..., 1, 2, 0] - N[..., 1, 0, 2] + N[..., 1, 0, 0]) * 0.25
@@ -134,25 +137,27 @@ def find_keypoints(dog, peak_threshold: float, edge_threshold: float,
             Dxs = (N[..., 2, 1, 2] + N[..., 0, 1, 0] - N[..., 2, 1, 0] - N[..., 0, 1, 2]) * 0.25
             Dys = (N[..., 2, 2, 1] + N[..., 0, 0, 1] - N[..., 2, 0, 1] - N[..., 0, 2, 1]) * 0.25
             Dss = N[..., 0, 1, 1] - 2 * N[..., 1, 1, 1] + N[..., 2, 1, 1]
-            A = jnp.stack([
-                jnp.stack([Dxx, Dxy, Dxs], -1),
-                jnp.stack([Dxy, Dyy, Dys], -1),
-                jnp.stack([Dxs, Dys, Dss], -1)], -2).astype(jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
-            rhs = -jnp.stack([Dx, Dy, Ds], -1)
-            det = jnp.linalg.det(A)
+            a00 = Dyy * Dss - Dys * Dys
+            a01 = Dys * Dxs - Dxy * Dss
+            a02 = Dxy * Dys - Dyy * Dxs
+            a11 = Dxx * Dss - Dxs * Dxs
+            a12 = Dxy * Dxs - Dxx * Dys
+            a22 = Dxx * Dyy - Dxy * Dxy
+            det = Dxx * a00 + Dxy * a01 + Dxs * a02
             ok = jnp.abs(det) > 1e-20
-            A_safe = jnp.where(ok[..., None, None], A, jnp.eye(3))
-            bvec = jnp.linalg.solve(A_safe, rhs[..., None])[..., 0]
-            bvec = jnp.where(ok[..., None], bvec, 0.0)
-            return bvec, score
+            inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+            bx = -(a00 * Dx + a01 * Dy + a02 * Ds) * inv
+            by = -(a01 * Dx + a11 * Dy + a12 * Ds) * inv
+            bs = -(a02 * Dx + a12 * Dy + a22 * Ds) * inv
+            return bx, by, bs, score
 
         def body(k, state):
             ix, iy, alive, kx, ky, ks, score = state
             N = n9(ix, iy)
-            bvec, sc = solve(N)
-            nkx = ix + jnp.clip(bvec[..., 0], -1, 1)
-            nky = iy + jnp.clip(bvec[..., 1], -1, 1)
-            nks = j + bvec[..., 2]
+            bx, by, bs, sc = solve(N)
+            nkx = ix + jnp.clip(bx, -1, 1)
+            nky = iy + jnp.clip(by, -1, 1)
+            nks = j + bs
             inb = (nkx >= 1) & (nkx <= W - 2) & (nky >= 1) & (nky <= H - 2)
             nx = (nkx + 0.5).astype(jnp.int32)
             ny = (nky + 0.5).astype(jnp.int32)

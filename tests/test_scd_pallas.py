@@ -5,7 +5,7 @@ import jax
 import numpy as np
 import pytest
 
-tpu_only = pytest.mark.skipif(jax.default_backend() != "tpu",
+tpu_only = pytest.mark.skipif(jax.default_backend() == "cpu",
                               reason="pallas TPU kernel")
 
 
