@@ -12,6 +12,8 @@ row/column falls out of the matrix shapes for free.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -92,6 +94,9 @@ def sat_auto(a, padding: int = NO_PADDING):
     if jnp.issubdtype(jnp.asarray(a).dtype if not hasattr(a, "dtype")
                       else a.dtype, jnp.integer) or a.ndim > 3:
         return sat(a, padding)
+    forced = os.environ.get("CCV_TPU_SAT")
+    if forced in ("sat", "sat_mxu"):
+        return (sat if forced == "sat" else sat_mxu)(a, padding)
     from ccv_tpu.nn import autotune
 
     default = "sat" if jax.default_backend() == "cpu" else "sat_mxu"

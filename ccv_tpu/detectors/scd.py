@@ -267,6 +267,25 @@ def _grid_corner_slices(planes, offsets, ny: int, nx: int, step: int):
     return jnp.stack(slices, axis=2).reshape(ny * nx, len(offsets), 8)
 
 
+def _grid_corner_slices_T(planes, offsets, ny: int, nx: int, step: int):
+    """Dt for EVERY window, built DIRECTLY in the (nd, nwin*8) matmul
+    operand layout. Each corner's (ny, nx, 8) plane slice is contiguous,
+    so stacking per-corner rows needs no relayout — at phase-B1 widths
+    (354 corners x 14k windows) the (nwin, nd, 8) form plus its transpose
+    materializes ~2x150 MB and costs more than the matmul it feeds."""
+    rows = [
+        jax.lax.slice(
+            planes,
+            (int(oy) % step, int(ox) % step, int(oy) // step,
+             int(ox) // step, 0),
+            (int(oy) % step + 1, int(ox) % step + 1,
+             int(oy) // step + ny, int(ox) // step + nx, 8))[0, 0]
+        .reshape(ny * nx * 8)
+        for oy, ox in offsets
+    ]
+    return jnp.stack(rows, axis=0)
+
+
 def _tile_selector(offsets, th: int, tw: int, step: int, M: np.ndarray):
     """Remap the corner matrix M (F*4, nd) onto per-window TILE positions:
     column j of the result corresponds to flattened tile index
@@ -282,12 +301,15 @@ def _tile_selector(offsets, th: int, tw: int, step: int, M: np.ndarray):
 
 
 def _surf_from_D(D, phase):
-    M, w, bias = phase["M"], phase["w"], phase["bias"]
-    n = D.shape[0]
-    nd = D.shape[1]
+    n, nd = D.shape[0], D.shape[1]
     # one (F*4, nd) @ (nd, n*8) matmul — XLA lowers the equivalent einsum
     # 'fd,ndc->nfc' to a much slower batched form
     Dt = D.transpose(1, 0, 2).reshape(nd, n * 8)
+    return _surf_from_Dt(Dt, n, phase)
+
+
+def _surf_from_Dt(Dt, n, phase):
+    M, w, bias = phase["M"], phase["w"], phase["bias"]
     exact = TPU_EXACT_BOX_SUMS and jax.default_backend() != "cpu"
     if exact:
         # see TPU_EXACT_BOX_SUMS: exact-invariant centering (row 0 is
@@ -314,20 +336,23 @@ def _surf_from_D(D, phase):
 
 
 def _eval_level(sat8, phase_a, phase_b1, phase_b2, all_off, last_count,
-                n_stages: int, ny: int, nx: int, step: int, K1: int,
-                K2: int, phase_a_impl=None):
+                n_stages: int, ny: int, nx: int, step: int,
+                K2: int, phase_a_impl=None, K1=None):
     """Evaluate one pyramid level as a STAGED cascade (up to three phases).
 
     The reference's per-window early exit (ccv_scd.c:1719-1768) becomes:
-    phase A evaluates the first few stages for EVERY window (dense, tiny);
-    survivors are compacted to a fixed-capacity index buffer
-    (jnp.nonzero(size=K1)) and phase B1 (the next stage block) runs only on
-    those; its survivors compact again (K2, ~1% of windows measured) and
-    phase B2 — the ~80% of all features — runs on that second compaction.
-    This is the dense-tensor answer to data-dependent control flow.
+    phases A and B1 (the leading ~20% of features) evaluate EVERY window
+    DENSELY — unit-stride corner slices + one matmul each, no gather at
+    all — and only the big phase-B2 block (the remaining ~80%) runs on a
+    compacted survivor buffer. Round-3 profiling showed the old sparse B1
+    (K1-capacity tile gather via vmapped dynamic_slice) cost 4.6 ms on the
+    base level vs 0.3 ms for an equivalent dense slicing pass: on TPU a
+    dense matmul over all 14k windows beats gathering 7% of them. This is
+    the dense-tensor answer to data-dependent control flow.
 
     Returns (idx, passed, conf, counts (2,)) where counts = survivors of
-    phase A and of phase B1 (for the host-side overflow fallback).
+    phase A and of phase A&B1 (for the host-side overflow fallback: only
+    count_b1 > K2 requires a full-capacity rerun).
     """
     planes, th, tw = _phase_planes(sat8, ny, nx, int(all_off[:, 0].max()),
                                    int(all_off[:, 1].max()), step)
@@ -336,52 +361,82 @@ def _eval_level(sat8, phase_a, phase_b1, phase_b2, all_off, last_count,
         v_last, pass_a = phase_a_impl(sat8)
     else:
         # phase A covers the full window grid -> dense unit-stride slices
-        D_a = _grid_corner_slices(planes, phase_a["offsets"], ny, nx, step)
-        v_a, pass_a = _surf_from_D(D_a, phase_a)
+        Dt_a = _grid_corner_slices_T(planes, phase_a["offsets"], ny, nx,
+                                     step)
+        v_a, pass_a = _surf_from_Dt(Dt_a, ny * nx, phase_a)
         v_last = v_a[:, -1]
     zero = jnp.zeros((), jnp.int32)
+    idx = jnp.arange(ny * nx, dtype=jnp.int32)
     if phase_b1 is None:
         # tiny cascade: single phase, "compaction" is just the pass mask
         conf = v_last / last_count + (n_stages - 1)
-        idx = jnp.arange(ny * nx, dtype=jnp.int32)
         return idx, pass_a, conf, jnp.stack(
             [jnp.sum(pass_a, dtype=jnp.int32), zero])
-    # compaction via stable argsort (passed-first, ascending index), NOT
-    # jnp.nonzero: nonzero lowers to a scatter = sequential K-iteration
-    # dynamic-update-slice loop on TPU (profiled at ~5-10 ms/level); sort
-    # of ~14k lanes is a parallel library kernel
-    idx1 = jnp.argsort(~pass_a, stable=True)[:K1].astype(jnp.int32)
     count_a = jnp.sum(pass_a, dtype=jnp.int32)
-    # phase B1: per-survivor contiguous tile extract + one matmul against
-    # the tile-remapped corner matrix (a row gather of 8-float corners runs
-    # ~6 GB/s on TPU; contiguous (step,step,th,tw,8) block reads don't)
-    wyx = jnp.stack([idx1 // nx, idx1 % nx], axis=1)
     pl = planes.transpose(2, 3, 0, 1, 4)  # (Hs, Ws, step, step, 8)
 
-    def tile_of(pos):
-        return jax.lax.dynamic_slice(
-            pl, (pos[0], pos[1], 0, 0, 0), (th, tw, step, step, 8))
+    def tiles_at(sel, K):
+        """Per-survivor contiguous tile extract in the M2 column layout
+        (a row gather of 8-float corners runs ~6 GB/s on TPU; contiguous
+        (step,step,th,tw,8) block reads don't)."""
+        wyx = jnp.stack([sel // nx, sel % nx], axis=1)
 
-    tiles = jax.vmap(tile_of)(wyx)  # (K1, th, tw, step, step, 8)
-    # reorder to the M2 column layout (py, px, ty, tx)
-    tiles = tiles.transpose(0, 3, 4, 1, 2, 5).reshape(K1, -1, 8)
-    v_b1, pass_b1 = _surf_from_D(tiles, phase_b1)
-    # mask padding slots (fill_value=0 would duplicate window 0 if it passed)
-    valid1 = (jnp.arange(K1) < jnp.minimum(count_a, K1)) & pass_a[idx1]
-    alive1 = pass_b1 & valid1
+        def tile_of(pos):
+            return jax.lax.dynamic_slice(
+                pl, (pos[0], pos[1], 0, 0, 0), (th, tw, step, step, 8))
+
+        t = jax.vmap(tile_of)(wyx)  # (K, th, tw, step, step, 8)
+        return t.transpose(0, 3, 4, 1, 2, 5).reshape(K, -1, 8)
+
+    if jax.default_backend() == "cpu":
+        # CPU keeps the SPARSE B1: XLA:CPU runs these level programs on
+        # one core where the dense form pays the full feature block for
+        # every window (the parity oracles would take minutes per image);
+        # compaction via stable argsort (passed-first, ascending index),
+        # NOT jnp.nonzero: nonzero lowers to a scatter = sequential
+        # K-iteration dynamic-update-slice loop
+        if K1 is None:
+            K1 = _level_capacity(ny * nx)
+        idx1 = jnp.argsort(~pass_a, stable=True)[:K1].astype(jnp.int32)
+        tiles = tiles_at(idx1, K1)
+        v_b1, pass_b1 = _surf_from_D(tiles, phase_b1[0])
+        valid1 = (jnp.arange(K1) < jnp.minimum(count_a, K1)) & pass_a[idx1]
+        alive1k = pass_b1 & valid1
+        if phase_b2 is None:
+            conf = v_b1[:, -1] / last_count + (n_stages - 1)
+            return idx1, alive1k, conf, jnp.stack([count_a, zero])
+        count_b1 = jnp.sum(alive1k, dtype=jnp.int32)
+        r2 = jnp.argsort(~alive1k, stable=True)[:K2].astype(jnp.int32)
+        tiles2 = tiles[r2]
+        v_b2, pass_b2 = _surf_from_D(tiles2, phase_b2)
+        valid2 = (jnp.arange(K2) < jnp.minimum(count_b1, K2)) & alive1k[r2]
+        conf = v_b2[:, -1] / last_count + (n_stages - 1)
+        return idx1[r2], pass_b2 & valid2, conf, jnp.stack(
+            [count_a, count_b1])
+
+    # phase B1 DENSE (TPU): the same unit-stride slicing as phase A over
+    # its own corner set; no compaction buffer, no capacity, no overflow.
+    # Round-3 profiling: the old sparse B1 (K1-capacity tile gather via
+    # vmapped dynamic_slice) cost 4.6 ms on the base level vs ~0.5 ms for
+    # the dense slicing+matmul — on TPU a dense matmul over all 14k
+    # windows beats gathering 7% of them.
+    Dt_b1 = _grid_corner_slices_T(planes, phase_b1[1]["offsets"], ny, nx,
+                                  step)
+    v_b1, pass_b1 = _surf_from_Dt(Dt_b1, ny * nx, phase_b1[1])
+    alive1 = pass_a & pass_b1
     if phase_b2 is None:
         conf = v_b1[:, -1] / last_count + (n_stages - 1)
-        return idx1, alive1, conf, jnp.stack([count_a, zero])
+        return idx, alive1, conf, jnp.stack([count_a, zero])
     count_b1 = jnp.sum(alive1, dtype=jnp.int32)
-    # phase B2: row-compact the ALREADY-GATHERED tiles (contiguous row
-    # take) — no second spatial gather — and run the big feature block
-    r2 = jnp.argsort(~alive1, stable=True)[:K2].astype(jnp.int32)
-    tiles2 = tiles[r2]
+    # ONE compaction feeds the big phase-B2 block on survivor tiles
+    idx2 = jnp.argsort(~alive1, stable=True)[:K2].astype(jnp.int32)
+    tiles2 = tiles_at(idx2, K2)
     v_b2, pass_b2 = _surf_from_D(tiles2, phase_b2)
-    valid2 = (jnp.arange(K2) < jnp.minimum(count_b1, K2)) & alive1[r2]
+    # mask padding slots (fill_value=0 would duplicate window 0 if it passed)
+    valid2 = (jnp.arange(K2) < jnp.minimum(count_b1, K2)) & alive1[idx2]
     passed = pass_b2 & valid2
     conf = v_b2[:, -1] / last_count + (n_stages - 1)
-    return idx1[r2], passed, conf, jnp.stack([count_a, count_b1])
+    return idx2, passed, conf, jnp.stack([count_a, count_b1])
 
 
 def _level_specs(H: int, W: int, cascade: ScdClassifierCascade,
@@ -500,38 +555,26 @@ def _tiled_phase(tabs, name: str, step: int):
 
 def _make_level_body(src_shape, rows: int, cols: int, ny: int, nx: int,
                      is_base: bool, cascade: ScdClassifierCascade,
-                     step: int, tabs, K1: int, K2: int,
-                     force_phase_a: Optional[str] = None):
+                     step: int, tabs, K2: int,
+                     force_phase_a: Optional[str] = None, K1=None):
     """Traceable body for one pyramid level: (optional INTER_AREA resample)
     -> margin pad -> scd_map -> SAT -> staged cascade eval.
 
-    In exact mode (TPU_EXACT_BOX_SUMS) the phase-A form — centered-XLA
-    matmul vs the Pallas VPU kernel — is a MEASURED per-geometry decision
-    (nn/autotune, the ccv_nnc_cmd_autotune analog, cmd.c:344-577),
-    benchmarked in context as the whole level program rather than the
-    kernel standalone (a standalone win was observed to invert once
-    fusion opportunities around it were lost)."""
+    ``force_phase_a`` selects the phase-A form: "xla" (default, the
+    centered-matmul corner slices) or "pallas" (the VPU kernel). The
+    MEASURED choice between them happens one level up, per OCTAVE program
+    (_get_octave_fn) — the deployable unit — so autotune compiles 2
+    variants per octave instead of 2 per level (cold-start wall: 34
+    standalone level compiles -> 6 octave compiles, and the measured
+    winner IS the production program)."""
     margin = cascade.margin
     n_stages = cascade.n_stages
     phase_a = tabs["phase_a"]
-    phase_b1 = _tiled_phase(tabs, "phase_b1", step)
+    # B1 needs both forms: the tile-remapped matrix for the CPU sparse
+    # path, the raw offset form for the TPU dense slicing path
+    phase_b1 = None if tabs["phase_b1"] is None else (
+        _tiled_phase(tabs, "phase_b1", step), tabs["phase_b1"])
     phase_b2 = _tiled_phase(tabs, "phase_b2", step)
-
-    if (force_phase_a is None and TPU_EXACT_BOX_SUMS
-            and jax.default_backend() != "cpu"):
-        from ccv_tpu.nn import autotune
-        variants = {
-            name: _make_level_body(src_shape, rows, cols, ny, nx, is_base,
-                                   cascade, step, tabs, K1, K2,
-                                   force_phase_a=name)
-            for name in ("xla", "pallas")
-        }
-        args = (jnp.zeros(src_shape, jnp.float32),
-                jnp.zeros((), jnp.float32))
-        return autotune.choose(
-            "scd_level_exact", variants, args, default="xla",
-            extra=f"{rows}x{cols}g{ny}x{nx}s{step}k{K1},{K2}"
-                  f"n{len(cascade.stage_counts)}")
 
     phase_a_impl = None
     if force_phase_a == "pallas":
@@ -557,37 +600,88 @@ def _make_level_body(src_shape, rows: int, cols: int, ny: int, nx: int,
                                padding=algebra.PADDING_ZERO)
         return _eval_level(sat8, phase_a, phase_b1, phase_b2,
                            tabs["all_off"], last_count, n_stages,
-                           ny=ny, nx=nx, step=step, K1=K1, K2=K2,
-                           phase_a_impl=phase_a_impl)
+                           ny=ny, nx=nx, step=step, K2=K2,
+                           phase_a_impl=phase_a_impl, K1=K1)
 
     return level
 
 
-def _out_len(tabs, nwin: int, K1: int, K2: int) -> int:
-    """Length of a level program's output arrays."""
+def _out_len(tabs, nwin: int, K2: int) -> int:
+    """Length of a level program's output arrays. On TPU phases A and B1
+    are dense -> full-grid outputs and only B2 compacts to K2; the CPU
+    sparse-B1 path compacts B2-less cascades to its K1 buffer."""
     if tabs["phase_b1"] is None:
         return nwin
     if tabs["phase_b2"] is None:
-        return K1
+        return (_level_capacity(nwin) if jax.default_backend() == "cpu"
+                else nwin)
     return K2
 
 
 def _get_level_fn(src_shape, rows: int, cols: int, ny: int, nx: int,
                   is_base: bool, cascade: ScdClassifierCascade,
-                  step: int, tabs, K1: int, K2: int, batch: bool = False):
+                  step: int, tabs, K2: int, batch: bool = False, K1=None):
     # id(cascade) matters: the phase tables (weights/thresholds) are traced
     # into the program as constants, so same-geometry cascades with
     # different weights must NOT share compiled programs
-    key = (id(cascade), src_shape, rows, cols, ny, nx, is_base, step, K1,
-           K2, batch)
+    key = (id(cascade), src_shape, rows, cols, ny, nx, is_base, step,
+           K2, batch, K1)
     fn = _LEVEL_CACHE.get(key)
     if fn is not None:
         return fn
     level = _make_level_body(src_shape, rows, cols, ny, nx, is_base,
-                             cascade, step, tabs, K1, K2)
+                             cascade, step, tabs, K2, K1=K1)
     fn = jax.jit(jax.vmap(level, in_axes=(0, None)) if batch else level)
     _LEVEL_CACHE[key] = fn
     return fn
+
+
+def _octave_builder(src_shape, lspecs, cascade: ScdClassifierCascade,
+                    step: int, tabs, has_next: bool, batch: bool = False):
+    """Returns build(force_phase_a) -> jitted whole-octave program with the
+    given phase-A form ("xla" / "pallas" / None = non-exact default)."""
+
+    def build(force_phase_a):
+        bodies = [
+            _make_level_body(src_shape, rows, cols, ny, nx, k == 0, cascade,
+                             step, tabs, K2=_level_capacity2(ny * nx),
+                             force_phase_a=force_phase_a)
+            for (k, rows, cols, ny, nx) in lspecs
+        ]
+
+        def octave(src, last_count):
+            rows_all, counts = [], []
+            for body in bodies:
+                idx, passed, conf, count2 = body(src, last_count)
+                rows_all.append(jnp.stack([idx.astype(jnp.float32),
+                                           passed.astype(jnp.float32),
+                                           conf.astype(jnp.float32)],
+                                          axis=1))
+                counts.append(count2.astype(jnp.float32))
+            packed = jnp.concatenate(rows_all, axis=0)
+            cnts = jnp.stack(counts)  # (L, 2)
+            nxt = resample.sample_down(src) if has_next else jnp.zeros(
+                (), jnp.float32)
+            return packed, cnts, nxt
+
+        if batch:
+            # one dispatch per octave for the WHOLE image batch: B x the
+            # per-program work of the single path, so the tiny upper-pyramid
+            # levels stop being dispatch-bound
+            if force_phase_a == "pallas":
+                # pallas_call with a manually-DMA'd ANY-space input has no
+                # vmap batching rule (Mosaic requires whole-array blocks
+                # there); lax.map keeps the one-dispatch-per-octave batch
+                # contract and runs the kernel per image inside the program
+                def batched(srcs, last_count):
+                    return jax.lax.map(lambda s: octave(s, last_count),
+                                       srcs)
+                return jax.jit(batched)
+            return jax.jit(jax.vmap(octave, in_axes=(0, None),
+                                    out_axes=(0, 0, 0 if has_next else None)))
+        return jax.jit(octave)
+
+    return build
 
 
 def _get_octave_fn(src_shape, lspecs, cascade: ScdClassifierCascade,
@@ -603,37 +697,89 @@ def _get_octave_fn(src_shape, lspecs, cascade: ScdClassifierCascade,
     fn = _LEVEL_CACHE.get(key)
     if fn is not None:
         return fn
-    bodies = [
-        _make_level_body(src_shape, rows, cols, ny, nx, k == 0, cascade,
-                         step, tabs, K1=_level_capacity(ny * nx),
-                         K2=_level_capacity2(ny * nx))
-        for (k, rows, cols, ny, nx) in lspecs
-    ]
+    build = _octave_builder(src_shape, lspecs, cascade, step, tabs,
+                            has_next, batch)
 
-    def octave(src, last_count):
-        rows_all, counts = [], []
-        for body in bodies:
-            idx, passed, conf, count2 = body(src, last_count)
-            rows_all.append(jnp.stack([idx.astype(jnp.float32),
-                                       passed.astype(jnp.float32),
-                                       conf.astype(jnp.float32)], axis=1))
-            counts.append(count2.astype(jnp.float32))
-        packed = jnp.concatenate(rows_all, axis=0)
-        cnts = jnp.stack(counts)  # (L, 2)
-        nxt = resample.sample_down(src) if has_next else jnp.zeros(
-            (), jnp.float32)
-        return packed, cnts, nxt
-
-    if batch:
-        # one dispatch per octave for the WHOLE image batch: B x the
-        # per-program work of the single path, so the tiny upper-pyramid
-        # levels stop being dispatch-bound
-        fn = jax.jit(jax.vmap(octave, in_axes=(0, None),
-                              out_axes=(0, 0, 0 if has_next else None)))
+    # Exact mode on TPU: the phase-A form (centered-XLA vs Pallas) is a
+    # MEASURED per-octave decision (nn/autotune, the ccv_nnc_cmd_autotune
+    # analog, cmd.c:344-577), benchmarked as the whole fused octave program
+    # — the deployable unit — and the measured jitted winner is reused as
+    # the production program (no recompile).
+    exact = TPU_EXACT_BOX_SUMS and jax.default_backend() != "cpu"
+    if exact:
+        from ccv_tpu.nn import autotune
+        extra = _octave_extra(lspecs, cascade, step, batch)
+        args = (jnp.zeros(src_shape, jnp.float32),
+                jnp.zeros((), jnp.float32))
+        if batch:
+            # reuse the single-image octave's measured choice (same
+            # geometry, avoids compiling 2 batched variants)
+            args1 = (jnp.zeros(src_shape, jnp.float32),
+                     jnp.zeros((), jnp.float32))
+            name = autotune.recorded(
+                "scd_octave_exact", args1,
+                extra=_octave_extra(lspecs, cascade, step, False))
+            fn = build(name or "pallas")
+        else:
+            variants = _octave_variants(key, build)
+            fn = autotune.choose("scd_octave_exact", variants, args,
+                                 default="pallas", extra=extra)
     else:
-        fn = jax.jit(octave)
+        fn = build(None)
     _LEVEL_CACHE[key] = fn
     return fn
+
+
+def _octave_extra(lspecs, cascade, step: int, batch: bool) -> str:
+    geom = "o" + ";".join(f"{r}x{c}g{ny}x{nx}"
+                          for (_k, r, c, ny, nx) in lspecs)
+    return f"{geom}s{step}n{len(cascade.stage_counts)}b{int(batch)}"
+
+
+def _octave_variants(key, build):
+    """Memoized {name: jitted fn} for one octave's phase-A variants — the
+    SAME objects flow through prewarm, autotune measurement and production
+    dispatch, so each variant compiles at most once."""
+    vkey = ("variants",) + key
+    got = _LEVEL_CACHE.get(vkey)
+    if got is None:
+        got = {name: build(name) for name in ("xla", "pallas")}
+        _LEVEL_CACHE[vkey] = got
+    return got
+
+
+def _prewarm_octave_fns(oct_work, cascade, step, tabs):
+    """Compile every still-cold octave program CONCURRENTLY before the
+    first dispatch. A whole-octave exact program takes ~2 min to compile
+    through the tunneled backend; six serial variant compiles measured
+    741 s of cold detect wall. Threads overlap the compiles (XLA releases
+    the GIL); on a warm autotune cache only each octave's recorded winner
+    is compiled."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ccv_tpu.nn import autotune
+
+    jobs = []  # (jitted fn, args)
+    for (src_shape, lspecs, has_next) in oct_work:
+        key = (id(cascade), src_shape, tuple(lspecs), step, has_next, False)
+        if _LEVEL_CACHE.get(key) is not None:
+            continue
+        build = _octave_builder(src_shape, lspecs, cascade, step, tabs,
+                                has_next, False)
+        args = (jnp.zeros(src_shape, jnp.float32),
+                jnp.zeros((), jnp.float32))
+        variants = _octave_variants(key, build)
+        name = autotune.recorded("scd_octave_exact", args,
+                                 extra=_octave_extra(lspecs, cascade, step,
+                                                     False))
+        if name in variants:
+            jobs.append((variants[name], args))
+        else:
+            jobs.extend((fn, args) for fn in variants.values())
+    if len(jobs) > 1:
+        with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
+            list(ex.map(lambda ja: jax.block_until_ready(ja[0](*ja[1])),
+                        jobs))
 
 
 def detect_async(img, cascade: ScdClassifierCascade,
@@ -670,6 +816,17 @@ def detect_async(img, cascade: ScdClassifierCascade,
     pyr = [jnp.asarray(a)]
     pieces = []
     src = pyr[0]
+    if TPU_EXACT_BOX_SUMS and jax.default_backend() != "cpu":
+        # octave shapes are known up front (sample_down halves H and W):
+        # compile every cold octave program concurrently instead of paying
+        # ~2 min of tunneled-compiler wall per octave serially
+        oct_work, shp = [], tuple(src.shape)
+        for octave in range(scale_upto):
+            lspecs = by_octave.get(octave, [])
+            if lspecs:
+                oct_work.append((shp, lspecs, octave < scale_upto - 1))
+            shp = (shp[0] // 2, shp[1] // 2) + shp[2:]
+        _prewarm_octave_fns(oct_work, cascade, step, tabs)
     for octave in range(scale_upto):
         lspecs = by_octave.get(octave, [])
         has_next = octave < scale_upto - 1
@@ -685,8 +842,7 @@ def detect_async(img, cascade: ScdClassifierCascade,
         if has_next:
             src = nxt
             pyr.append(src)
-    lens = tuple(_out_len(tabs, ny * nx, _level_capacity(ny * nx),
-                          _level_capacity2(ny * nx))
+    lens = tuple(_out_len(tabs, ny * nx, _level_capacity2(ny * nx))
                  for (octave, k, rows, cols, ny, nx, scale) in specs)
     shapes = tuple(int(p.shape[0]) for p, c in pieces)
     packed = _get_pack_fn(shapes)(tuple(x for pc in pieces for x in pc))
@@ -746,9 +902,12 @@ def _comps_from_levels(outs, specs, up_ratio, eff_w, eff_h, step, rerun):
     comps: List[Comp] = []
     for spec, (idx, passed, conf, count2) in zip(specs, outs):
         (octave, k, rows, cols, ny, nx, scale) = spec
-        K1 = _level_capacity(ny * nx)
         K2 = _level_capacity2(ny * nx)
-        if int(count2[0]) > K1 or int(count2[1]) > K2:
+        overflow = int(count2[1]) > K2
+        if jax.default_backend() == "cpu":
+            # only the CPU sparse-B1 path has a K1 capacity to overflow
+            overflow = overflow or int(count2[0]) > _level_capacity(ny * nx)
+        if overflow:
             idx, passed, conf, count2 = rerun(spec)
         passed = np.asarray(passed)
         if not passed.any():
@@ -780,7 +939,7 @@ def detect_collect(handle) -> List[Comp]:
         (octave, k, rows, cols, ny, nx, scale) = spec
         src = pyr[octave]
         fn = _get_level_fn(tuple(src.shape), rows, cols, ny, nx, k == 0,
-                           cascade, step, tabs, K1=ny * nx, K2=ny * nx)
+                           cascade, step, tabs, K2=ny * nx, K1=ny * nx)
         return jax.device_get(fn(src, tabs["last_count"]))
 
     comps = _comps_from_levels(outs, specs, up_ratio, eff_w, eff_h, step,
@@ -843,8 +1002,7 @@ def detect_batch(imgs, cascade: ScdClassifierCascade,
         if has_next:
             src = nxt
             pyr.append(src)
-    lens = tuple(_out_len(tabs, ny * nx, _level_capacity(ny * nx),
-                          _level_capacity2(ny * nx))
+    lens = tuple(_out_len(tabs, ny * nx, _level_capacity2(ny * nx))
                  for (octave, k, rows, cols, ny, nx, scale) in specs)
     shapes = tuple(int(p.shape[1]) for p, c in pieces)
     packed = _get_pack_fn(shapes, batch=True)(
@@ -859,8 +1017,8 @@ def detect_batch(imgs, cascade: ScdClassifierCascade,
             (octave, k, rows, cols, ny, nx, scale) = spec
             src_b = pyr[octave][_b]
             fn = _get_level_fn(tuple(src_b.shape), rows, cols, ny, nx,
-                               k == 0, cascade, step, tabs, K1=ny * nx,
-                               K2=ny * nx)
+                               k == 0, cascade, step, tabs, K2=ny * nx,
+                               K1=ny * nx)
             return jax.device_get(fn(src_b, tabs["last_count"]))
 
         comps = _comps_from_levels(outs, specs, up_ratio, eff_w, eff_h,

@@ -6,9 +6,11 @@ TPU-native redesign:
   pixel at once (the 5-step convergence loop is a vectorized fori_loop with
   per-candidate state instead of the reference's per-pixel loop,
   ccv_sift.c:286-316).
-- Orientation histograms and 4x4x8 descriptors are vmapped fixed-window
-  gathers with masked out-of-round pixels; the reference's fast_expn LUT
-  (ccv_sift.c:141-160) is reproduced exactly for parity.
+- Orientation histograms and 4x4x8 descriptors sample a FIXED grid in the
+  rotated, scale-normalized support (the constant sample area cancels under
+  L2 normalization / peak ratios), bilinearly interpolating (gx, gy) vector
+  planes — scale-proportional like the reference's pixel windows
+  (ccv_sift.c:340-470) at ~25x less gather traffic.
 - Variable-length keypoint lists cross the host boundary as mask+value
   planes (SURVEY.md hard-parts list).
 """
@@ -27,11 +29,6 @@ import numpy as np
 from ccv_tpu.ops import basic, resample
 
 SIGMA0 = 1.6
-EXPN_SZ = 256
-EXPN_MAX = 25.0
-_EXPN_TAB = np.exp(-np.arange(EXPN_SZ + 1) * (EXPN_MAX / EXPN_SZ))
-
-
 @dataclasses.dataclass
 class SiftParams:
     """ccv_sift_default_params twin (ccv_sift.c:36)."""
@@ -42,16 +39,6 @@ class SiftParams:
     edge_threshold: float = 10.0
     norm_threshold: float = 0.0
     peak_threshold: float = 0.0
-
-
-def _expn(x):
-    """fast_expn LUT with linear interpolation (exact reference twin)."""
-    x = jnp.clip(x, 0.0, EXPN_MAX)
-    xs = x * (EXPN_SZ / EXPN_MAX)
-    i = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, EXPN_SZ - 1)
-    r = xs - i
-    tab = jnp.asarray(_EXPN_TAB, jnp.float32)
-    return tab[i] + r * (tab[i + 1] - tab[i])
 
 
 @partial(jax.jit, static_argnames=("nlevels",))
@@ -219,126 +206,138 @@ def find_keypoints_compact(dog, peak_threshold: float, edge_threshold: float,
     return count, kxs, kys, kss, levels
 
 
-ORI_WIN = 16  # max orientation window radius: 3*1.5*scale(max~3.2)+.5 ~ 15
+
+ORI_GRID = 16  # sample grid per axis over the +-3 sigma_w orientation disc
 
 
-def _orientation_core(th, md, kxs, kys, scales, levels, valid):
-    """Smoothed 36-bin orientation histograms for a batch of keypoints.
+def _ori_grid_core(gxy_flat, H, W, kxs, kys, scales, valid, levels):
+    """36-bin orientation histograms via a FIXED sample grid in
+    scale-normalized coordinates (same rebuild as _desc_grid_core).
 
-    th/md: (L-3, H, W) gradient pyramids of one octave; kxs/kys in octave
-    coordinates; `valid` zeroes padded slots (count bucketing). Returns
-    (N, 36) f32 bins.
+    The reference weights every pixel of a 3*sigma_w-radius disc
+    (ccv_sift.c:340-366, sigma_w = 1.5 * scale). Sampling the disc on an
+    ORI_GRID^2 lattice of [-3, 3]^2 sigma_w units scales every bin by the
+    constant sample area — irrelevant to peak selection (ratios and local
+    maxima only). Bilinear (gx, gy) interpolation; Gaussian weight
+    computed directly (exp(-(u^2+v^2)/2) in normalized units)."""
+    G = ORI_GRID
+    us = (jnp.arange(G, dtype=jnp.float32) + 0.5) * (6.0 / G) - 3.0
+    uu, vv = jnp.meshgrid(us, us, indexing="xy")
+    u = uu.reshape(-1)
+    v = vv.reshape(-1)
+    r2 = u * u + v * v
+    w_gauss = jnp.where(r2 <= 9.0 + 1e-3, jnp.exp(-r2 / 2.0), 0.0)  # (P,)
 
-    TPU redesign (round 3): the reference's per-pixel 2-tap scatter into
-    the histogram (ccv_sift.c:352-366) is a circular tent kernel — each
-    pixel's weight to bin b is max(0, 1 - circdist(fbin-0.5, b)).  So the
-    whole histogram is one (1,P)x(P,36) matmul per keypoint, batched over
-    keypoints on the MXU: no scatters, no serial adds.
+    sw = 1.5 * scales                                 # sigma_w, (N,)
+    px = kxs[:, None] + sw[:, None] * u
+    py = kys[:, None] + sw[:, None] * v
+    x0 = jnp.floor(px).astype(jnp.int32)
+    y0 = jnp.floor(py).astype(jnp.int32)
+    fx = px - x0
+    fy = py - y0
+    inside = ((px >= 0) & (px <= W - 1) & (py >= 0) & (py <= H - 1))
+    base = levels[:, None] * (H * W)
+
+    def corner(yc, xc):
+        lin = base + yc.clip(0, H - 1) * W + xc.clip(0, W - 1)
+        return gxy_flat[lin]
+
+    g00 = corner(y0, x0)
+    g01 = corner(y0, x0 + 1)
+    g10 = corner(y0 + 1, x0)
+    g11 = corner(y0 + 1, x0 + 1)
+    wx = fx[..., None]
+    wy = fy[..., None]
+    g = ((g00 * (1 - wx) + g01 * wx) * (1 - wy)
+         + (g10 * (1 - wx) + g11 * wx) * wy)
+    gx, gy = g[..., 0], g[..., 1]
+    m = jnp.sqrt(gx * gx + gy * gy)
+    theta = jnp.arctan2(gy, gx)                      # radians, [-pi, pi]
+    mw = (jnp.where(inside, m, 0.0) * w_gauss[None, :]
+          * valid[:, None])                           # (N, P)
+    # tent into 36 bins: fbin matches the reference's degrees*0.1 - 0.5
+    deg = jnp.mod(theta * (180.0 / math.pi), 360.0)
+    fbin = deg * 0.1 - 0.5
+    d = jnp.abs(fbin[..., None] - jnp.arange(36.0))
+    tri = jnp.maximum(0.0, 1.0 - jnp.minimum(d, 36.0 - d))   # (N, P, 36)
+    bins = jnp.einsum("np,npb->nb", mw, tri,
+                      preferred_element_type=jnp.float32)
+    for _ in range(6):
+        bins = (jnp.roll(bins, 1, 1) + bins + jnp.roll(bins, -1, 1)) / 3.0
+    return bins
+
+
+DESC_GRID = 16  # sample grid per axis over the 4x4-bin descriptor support
+
+
+def _desc_grid_core(gxy_flat, H, W, kxs, kys, scales, levels, angles, valid):
+    """4x4x8 SIFT descriptors via a FIXED sample grid in the rotated,
+    scale-normalized descriptor frame (the round-3 rebuild of the fixed
+    113x113 pixel gather, which cost ~25k gathered elements per keypoint
+    regardless of scale).
+
+    The reference integrates tent-weighted gradients over every pixel of
+    a scale-proportional window (ccv_sift.c:391-470). Point-sampling that
+    integral on a DESC_GRID^2 lattice of the normalized support
+    [-2.5, 2.5]^2 computes the same quantity up to the constant sample
+    area (5*SBP/G)^2 — which cancels exactly under the final L2
+    normalization. Gradients are bilinearly interpolated from (gx, gy)
+    vector planes (interpolating angle planes would break at the 0/360
+    wrap). Cost per keypoint: 4 bilinear-corner gathers of G^2 x 2
+    elements (~2k) — ~25x less traffic than the pixel-window form, and
+    the Gaussian weight is computed directly on the VPU (no LUT gather).
     """
-    Lg, H, W = th.shape
-
-    def one(kx, ky, scale, level, vmask):
-        ix = (kx + 0.5).astype(jnp.int32)
-        iy = (ky + 0.5).astype(jnp.int32)
-        sigmaw = 1.5 * scale
-        wz = jnp.maximum((3.0 * sigmaw + 0.5).astype(jnp.int32), 1)
-        dy = jnp.arange(-ORI_WIN, ORI_WIN + 1)
-        dx = jnp.arange(-ORI_WIN, ORI_WIN + 1)
-        yy = iy + dy[:, None]
-        xx = ix + dx[None, :]
-        inside = ((yy >= 0) & (yy < H) & (xx >= 0) & (xx < W)
-                  & (jnp.abs(dy)[:, None] <= wz) & (jnp.abs(dx)[None, :] <= wz))
-        t = th[level, yy.clip(0, H - 1), xx.clip(0, W - 1)]
-        m = md[level, yy.clip(0, H - 1), xx.clip(0, W - 1)]
-        r2 = (xx - kx) ** 2 + (yy - ky) ** 2
-        inside &= r2 <= wz * wz + 0.6
-        weight = _expn(r2 / (2.0 * sigmaw * sigmaw))
-        mw = jnp.where(inside, m * weight, 0.0).reshape(-1) * vmask
-        fbin = (t * 0.1 - 0.5).reshape(-1)  # tent center coordinate
-        d = jnp.abs(fbin[:, None] - jnp.arange(36.0)[None, :])
-        tri = jnp.maximum(0.0, 1.0 - jnp.minimum(d, 36.0 - d))  # (P, 36)
-        bins = jnp.matmul(mw[None, :], tri,
-                          preferred_element_type=jnp.float32)[0]
-
-        def smooth(_, bins):
-            prev = jnp.roll(bins, 1)
-            nxt = jnp.roll(bins, -1)
-            return (prev + bins + nxt) / 3.0
-
-        return jax.lax.fori_loop(0, 6, smooth, bins)
-
-    return jax.vmap(one)(kxs, kys, scales, levels, valid)
-
-
-orientation_bins = jax.jit(_orientation_core)
-
-DESC_WIN = 56  # max descriptor window radius: 3*scale*sqrt(2)*2.5+0.5
-_DESC_CHUNK = 128  # keypoints per lax.map chunk (bounds A's HBM footprint)
-
-
-def _descriptors_core(th, md, kxs, kys, scales, levels, angles, valid):
-    """4x4x8 SIFT descriptors for a batch of keypoints (one octave).
-
-    TPU redesign (round 3): the reference's trilinear scatter
-    (ccv_sift.c:391-470) factorizes exactly — each pixel contributes
-    weight(p) * tent_y(p,by) * tent_x(p,bx) * tent_t(p,bt), so
-
-        desc[(by,bx), bt] = sum_p A[p, (by,bx)] * B[p, bt]
-
-    with A = weight x spatial tents (P,16) and B = circular orientation
-    tents (P,8).  One (16,P)x(P,8) matmul per keypoint, batched over a
-    lax.map chunk of keypoints: pure MXU work, zero scatters (the previous
-    form did 8 serial .at[].add scatters per keypoint and was 50x slower
-    than the reference's single-core C loop).
-    """
-    Lg, H, W = th.shape
+    G = DESC_GRID
+    P = G * G
+    step = 5.0 / G
+    us = (jnp.arange(G, dtype=jnp.float32) + 0.5) * step - 2.5
+    uu, vv = jnp.meshgrid(us, us, indexing="xy")
+    u = uu.reshape(-1)   # (P,) normalized x
+    v = vv.reshape(-1)   # (P,) normalized y
+    w_gauss = jnp.exp(-(u * u + v * v) / 8.0)  # sigma = 2 bins
     centers = jnp.array([-1.5, -0.5, 0.5, 1.5], jnp.float32)
+    tx = jnp.maximum(0.0, 1.0 - jnp.abs(u[:, None] - centers))  # (P, 4)
+    ty = jnp.maximum(0.0, 1.0 - jnp.abs(v[:, None] - centers))  # (P, 4)
+    AT = ((w_gauss[:, None] * ty)[:, :, None] * tx[:, None, :]).reshape(P, 16)
 
-    def one(args):
-        kx, ky, scale, level, angle, vmask = args
-        ix = (kx + 0.5).astype(jnp.int32)
-        iy = (ky + 0.5).astype(jnp.int32)
-        SBP = 3.0 * scale
-        wz = jnp.maximum((SBP * math.sqrt(2.0) * 2.5 + 0.5).astype(jnp.int32), 1)
-        dy = jnp.arange(-DESC_WIN, DESC_WIN + 1)
-        dx = jnp.arange(-DESC_WIN, DESC_WIN + 1)
-        yy = iy + dy[:, None]
-        xx = ix + dx[None, :]
-        inside = ((yy >= 0) & (yy < H) & (xx >= 0) & (xx < W)
-                  & (jnp.abs(dy)[:, None] <= wz) & (jnp.abs(dx)[None, :] <= wz))
-        t = th[level, yy.clip(0, H - 1), xx.clip(0, W - 1)]
-        m = md[level, yy.clip(0, H - 1), xx.clip(0, W - 1)]
-        ca, sa = jnp.cos(angle), jnp.sin(angle)
-        fx = xx - kx
-        fy = yy - ky
-        nx = ((ca * fx + sa * fy) / SBP).reshape(-1)
-        ny = ((-sa * fx + ca * fy) / SBP).reshape(-1)
-        nt = (8.0 * jnp.mod(t * (math.pi / 180.0) - angle, 2.0 * math.pi)
-              / (2.0 * math.pi)).reshape(-1)
-        weight = (_expn((nx * nx + ny * ny) / (2.0 * 2.0 * 2.0))
-                  * m.reshape(-1)
-                  * jnp.where(inside.reshape(-1), vmask, 0.0))
-        # spatial tents: bin bx gets |1-dbx-rbinx| = max(0, 1-|nx-(bx+.5)|)
-        tx = jnp.maximum(0.0, 1.0 - jnp.abs(nx[:, None] - centers))  # (P,4)
-        ty = jnp.maximum(0.0, 1.0 - jnp.abs(ny[:, None] - centers))  # (P,4)
-        A = ((weight[:, None] * ty)[:, :, None] * tx[:, None, :]).reshape(-1, 16)
-        # circular orientation tents over 8 bins (period 8)
-        dtt = jnp.abs(nt[:, None] - jnp.arange(8.0)[None, :])
-        B = jnp.maximum(0.0, 1.0 - jnp.minimum(dtt, 8.0 - dtt))  # (P,8)
-        desc = jnp.matmul(A.T, B,
-                          preferred_element_type=jnp.float32).reshape(128)
-        # L2 normalize, clip at 0.2, renormalize (ccv_sift.c:455-470)
-        norm = jnp.sqrt(jnp.sum(desc * desc))
-        desc = desc / jnp.maximum(norm, 1e-12)
-        desc = jnp.minimum(desc, 0.2)
-        desc = desc / jnp.maximum(jnp.sqrt(jnp.sum(desc * desc)), 1e-12)
-        return desc
+    SBP = 3.0 * scales  # (N,)
+    ca, sa = jnp.cos(angles), jnp.sin(angles)
+    # sample positions: k + SBP * R(angle)^-1 @ (u, v)
+    px = kxs[:, None] + SBP[:, None] * (ca[:, None] * u - sa[:, None] * v)
+    py = kys[:, None] + SBP[:, None] * (sa[:, None] * u + ca[:, None] * v)
+    x0 = jnp.floor(px).astype(jnp.int32)
+    y0 = jnp.floor(py).astype(jnp.int32)
+    fx = px - x0
+    fy = py - y0
+    inside = ((px >= 0) & (px <= W - 1) & (py >= 0) & (py <= H - 1))
+    base = levels[:, None] * (H * W)
 
-    return jax.lax.map(one, (kxs, kys, scales, levels, angles, valid),
-                       batch_size=_DESC_CHUNK)
+    def corner(yc, xc):
+        lin = base + yc.clip(0, H - 1) * W + xc.clip(0, W - 1)
+        return gxy_flat[lin]  # (N, P, 2)
 
-
-descriptors = jax.jit(_descriptors_core)
+    g00 = corner(y0, x0)
+    g01 = corner(y0, x0 + 1)
+    g10 = corner(y0 + 1, x0)
+    g11 = corner(y0 + 1, x0 + 1)
+    wx = fx[..., None]
+    wy = fy[..., None]
+    g = ((g00 * (1 - wx) + g01 * wx) * (1 - wy)
+         + (g10 * (1 - wx) + g11 * wx) * wy)      # (N, P, 2)
+    gx, gy = g[..., 0], g[..., 1]
+    m = jnp.sqrt(gx * gx + gy * gy)
+    theta = jnp.arctan2(gy, gx)                    # radians
+    m = jnp.where(inside, m, 0.0) * valid[:, None]
+    nt = 8.0 * jnp.mod(theta - angles[:, None], 2.0 * math.pi) / (2.0 * math.pi)
+    dtt = jnp.abs(nt[..., None] - jnp.arange(8.0))
+    B = jnp.maximum(0.0, 1.0 - jnp.minimum(dtt, 8.0 - dtt))   # (N, P, 8)
+    desc = jnp.einsum("pi,npj->nij", AT, B * m[..., None],
+                      preferred_element_type=jnp.float32).reshape(-1, 128)
+    norm = jnp.sqrt(jnp.sum(desc * desc, axis=1, keepdims=True))
+    desc = desc / jnp.maximum(norm, 1e-12)
+    desc = jnp.minimum(desc, 0.2)
+    norm2 = jnp.sqrt(jnp.sum(desc * desc, axis=1, keepdims=True))
+    return desc / jnp.maximum(norm2, 1e-12)
 
 
 def _build_pyramids(g0, nlevels: int, up2x_octave: bool):
@@ -397,7 +396,13 @@ def _octave_program(g0, peak_threshold: float, edge_threshold: float,
     sigma = SIGMA0 * sigmak * jnp.power(2.0, kss / (nlevels - 3))
     vmask = lane.astype(jnp.float32)
 
-    bins = _orientation_core(th, md, kxs, kys, sigma, levels - 1, vmask)
+    # (gx, gy) vector planes for interpolated grid sampling (th is in
+    # degrees from basic.gradient); shared by orientation + descriptors
+    rad = th * (math.pi / 180.0)
+    gxy_flat = jnp.stack([md * jnp.cos(rad), md * jnp.sin(rad)],
+                         axis=-1).reshape(-1, 2)
+    bins = _ori_grid_core(gxy_flat, H, W, kxs, kys, sigma, vmask,
+                          levels - 1)
 
     # orientation peaks, fully on device (ccv_sift.c:370-385): argmax
     # always qualifies; other strict local maxima above 0.8*max also do
@@ -423,8 +428,9 @@ def _octave_program(g0, peak_threshold: float, edge_threshold: float,
     out = dict(count=count, ecount=ecount, ekp=ekp, ekx=ekx, eky=eky,
                esig=esig, elvl=elvl, eang=eang)
     if want_desc:
-        out["desc"] = _descriptors_core(th, md, ekx, eky, esig, elvl - 1,
-                                        eang, elane.astype(jnp.float32))
+        out["desc"] = _desc_grid_core(gxy_flat, H, W,
+                                      ekx, eky, esig, elvl - 1, eang,
+                                      elane.astype(jnp.float32))
     return out
 
 

@@ -643,8 +643,23 @@ def detect_words_collect(fut) -> List[Comp]:
     return fut.result()
 
 
-def detect_words(a, params: Optional[SwtParams] = None) -> List[Comp]:
-    """ccv_swt_detect_words twin (ccv_swt.c:625), single scale by default."""
+def detect_words(a, params: Optional[SwtParams] = None,
+                 timings: Optional[dict] = None) -> List[Comp]:
+    """ccv_swt_detect_words twin (ccv_swt.c:625), single scale by default.
+
+    Pass a dict as `timings` to collect a per-stage wall-clock breakdown
+    (ms, accumulated over scales): frontend / rays / sync / fetch / cc /
+    letters — the instrumentation VERDICT r2 asked for to localize the
+    SWT budget between device programs, tunnel transfers and host math."""
+    import time as _time
+
+    def _mark(stage, t0):
+        if timings is not None:
+            t1 = _time.perf_counter()
+            timings[stage] = timings.get(stage, 0.0) + (t1 - t0) * 1e3
+            return t1
+        return t0
+
     from ccv_tpu.core.dense_matrix import as_array
 
     params = params or SwtParams()
@@ -676,9 +691,13 @@ def detect_words(a, params: Optional[SwtParams] = None) -> List[Comp]:
         else:
             pyr = phx
         h_, w_ = pyr.shape
+        _t = __import__("time").perf_counter()
         c_dev, dx_dev, dy_dev, cnt_dev, gray8 = _swt_frontend(
             pyr, params.size, int(params.low_thresh + 0.5),
             int(params.high_thresh + 0.5))
+        if timings is not None:
+            jax.block_until_ready(c_dev)
+        _t = _mark("frontend", _t)
         # size the ray program from this shape's last image: lane count
         # from the edge count, ray cap T from the longest hit, path slots
         # from the live stroke cells. Overflows ride back in the stats and
@@ -696,6 +715,17 @@ def detect_words(a, params: Optional[SwtParams] = None) -> List[Comp]:
             packed, stats_dev = _swt_rays_both(
                 c_dev, dx_dev, dy_dev, n_rays, T=T, m_slots=m_slots,
                 gray8=gray8)
+            # start ALL device->host copies before blocking on any: each
+            # sync fetch over the tunneled device costs a full RTT; issued
+            # together they overlap into ~one
+            for buf in (cnt_dev, stats_dev, packed):
+                try:
+                    buf.copy_to_host_async()
+                except AttributeError:
+                    pass
+            if timings is not None:
+                jax.block_until_ready(packed)
+            _t = _mark("rays", _t)
             cnt = int(cnt_dev)
             stats = np.asarray(stats_dev)
             unresolved, max_hn, total = map(int, stats)
@@ -710,13 +740,18 @@ def detect_words(a, params: Optional[SwtParams] = None) -> List[Comp]:
             n_rays = _bucket_for(cnt, h_ * w_)
             T = MAX_RAY if unresolved else T
             m_slots = _m_bucket(total, n_rays, T)
+        _t = _mark("sync", _t)
         arr = np.asarray(packed)
         sm_np, gray_np = arr[:2], arr[2]
+        _t = _mark("fetch", _t)
+        ccs = [_cc_host(sm_np[d]) for d in range(2)]
+        _t = _mark("cc", _t)
         textlines = []
         for d in range(2):  # DARK_TO_BRIGHT, BRIGHT_TO_DARK
             letters = _letters_from_components(
-                gray_np, sm_np[d], _cc_host(sm_np[d]), params)
+                gray_np, sm_np[d], ccs[d], params)
             textlines += _merge_textline(letters, params)
+        _t = _mark("letters", _t)
         # group overlapping textlines, keep the widest per group
         if textlines:
             idx = group(textlines, lambda a, b: _same_textline(

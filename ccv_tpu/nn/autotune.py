@@ -132,7 +132,9 @@ def _time_variant(fn: Callable, args: Tuple) -> float:
     way the detectors' async paths use the winner."""
     import jax
 
-    jfn = jax.jit(fn)
+    # pre-jitted variants are measured as-is so the measured compilation
+    # IS the production one (callers cache the returned winner)
+    jfn = fn if hasattr(fn, "lower") else jax.jit(fn)
     best = float("inf")
     try:
         for i in range(_WARMUP + _TRIALS):
@@ -166,6 +168,15 @@ def measure(op: str, variants: Dict[str, Callable], make_args: Callable,
         }
         _save()
     return winner
+
+
+def recorded(op: str, args: Sequence[Any], extra: str = "") -> Optional[str]:
+    """The persisted winner's name for this (op, shapes, extra) key, or
+    None if it was never measured. Lets callers reuse a measured decision
+    for a structurally-identical variant family (e.g. the batched form of
+    an already-tuned single-image program) without re-measuring."""
+    hit = _load().get(_key(op, args, extra))
+    return hit.get("choice") if hit else None
 
 
 def choose(op: str, variants: Dict[str, Callable], args: Sequence[Any],
