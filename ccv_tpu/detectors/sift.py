@@ -62,54 +62,59 @@ def build_octave(g0, nlevels: int):
     return g[1], jnp.stack(dogs), jnp.stack(ths), jnp.stack(mds)
 
 
-@partial(jax.jit, static_argnames=("nlevels",))
-def find_keypoints(dog, peak_threshold: float, edge_threshold: float,
-                   nlevels: int):
-    """Vectorized extrema + iterative subpixel refinement.
+def _dense_extrema(dog, peak_threshold: float):
+    """26-neighbor extrema of the DoG stack, all levels at once.
 
-    dog: (L-1, H, W). Returns per-(level, y, x): valid mask, kp_x, kp_y,
-    kp_scale (level units).
-    """
+    dog: (L1, H, W). Returns a bool mask of shape (L1-2, H, W) for levels
+    1..L1-2 (the reference scans the same interior levels,
+    ccv_sift.c:271-285). Pure elementwise compares over rolled copies —
+    no gathers; the expensive iterative refinement runs later over
+    COMPACTED lanes only (round-4 rework: the round-3 form re-ran the
+    5-step refine over every pixel of every plane, ~400 full-plane
+    gathers per octave for ~10^3 sparse extrema)."""
     L1, H, W = dog.shape
+    v = dog[1:-1]
+    lt = v <= -peak_threshold
+    gt = v >= peak_threshold
+    for ds in (-1, 0, 1):
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                if ds == 0 and di == 0 and dj == 0:
+                    continue
+                # roll on H/W wraps, but the border mask excludes those;
+                # the level axis is sliced (no wraparound: 1+ds >= 0)
+                nb = jnp.roll(dog, (-di, -dj), (1, 2))[1 + ds:L1 - 1 + ds]
+                lt = lt & (v < nb)
+                gt = gt & (v > nb)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    border = (ii >= 1) & (ii < H - 1) & (jj >= 1) & (jj < W - 1)
+    return (lt | gt) & border[None]
 
-    def neighbors_extrema(j):
-        b, c, u = dog[j - 1], dog[j], dog[j + 1]
-        v = c
-        lt = (v <= -peak_threshold)
-        gt = (v >= peak_threshold)
-        for arr in (b, c, u):
+
+def _refine_lanes(dog, lvl, ix, iy, alive, peak_threshold: float,
+                  edge_threshold: float, nlevels: int):
+    """Iterative 3x3x3 quadratic refinement over keypoint LANES.
+
+    dog: (L1, H, W); lvl/ix/iy/alive: (cap,) lane arrays (lvl in
+    1..L1-2). Returns (valid, kx, ky, ks) lane arrays. Each refine step
+    costs 27 gathers of `cap` elements — vs the dense form's 27
+    full-plane gathers per level per step."""
+    L1, H, W = dog.shape
+    dflat = dog.reshape(-1)
+
+    def n27(yy, xx):
+        """gather the 3x3x3 neighborhood at integer (lvl, yy, xx)."""
+        cols = []
+        for ds in (-1, 0, 1):
             for di in (-1, 0, 1):
                 for dj in (-1, 0, 1):
-                    if arr is c and di == 0 and dj == 0:
-                        continue
-                    nb = jnp.roll(arr, (-di, -dj), (0, 1))
-                    lt = lt & (v < nb)
-                    gt = gt & (v > nb)
-        ext = lt | gt
-        # exclude the 1-pixel border
-        ii = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-        jj = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-        return ext & (ii >= 1) & (ii < H - 1) & (jj >= 1) & (jj < W - 1)
+                    lin = (((lvl + ds) * H + (yy + di).clip(0, H - 1)) * W
+                           + (xx + dj).clip(0, W - 1))
+                    cols.append(dflat[lin])
+        return jnp.stack(cols, -1).reshape(-1, 3, 3, 3)  # (cap, s, dy, dx)
 
-    def refine_level(j):
-        ext = neighbors_extrema(j)
-        b, c, u = dog[j - 1], dog[j], dog[j + 1]
-        jj0 = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-        ii0 = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-
-        def n9(ix, iy):
-            """gather the 3x3x3 neighborhood at integer (ix, iy)."""
-            vals = []
-            for arr in (b, c, u):
-                for di in (-1, 0, 1):
-                    row = []
-                    for dj in (-1, 0, 1):
-                        row.append(arr[(iy + di).clip(0, H - 1),
-                                       (ix + dj).clip(0, W - 1)])
-                    vals.append(jnp.stack(row, -1))
-            return jnp.stack(vals, -2).reshape(*ix.shape, 3, 3, 3)  # (.., s, dy, dx)
-
-        def solve(N):
+    def solve(N):
             """quadratic fit via the symmetric 3x3 adjugate (Cramer):
             closed-form elementwise VPU math — jnp.linalg.solve lowered
             to a batched-per-pixel LU whose HLO dominated the octave
@@ -138,73 +143,41 @@ def find_keypoints(dog, peak_threshold: float, edge_threshold: float,
             bs = -(a02 * Dx + a12 * Dy + a22 * Ds) * inv
             return bx, by, bs, score
 
-        def body(k, state):
-            ix, iy, alive, kx, ky, ks, score = state
-            N = n9(ix, iy)
-            bx, by, bs, sc = solve(N)
-            nkx = ix + jnp.clip(bx, -1, 1)
-            nky = iy + jnp.clip(by, -1, 1)
-            nks = j + bs
-            inb = (nkx >= 1) & (nkx <= W - 2) & (nky >= 1) & (nky <= H - 2)
-            nx = (nkx + 0.5).astype(jnp.int32)
-            ny = (nky + 0.5).astype(jnp.int32)
-            converged = (nx == ix) & (ny == iy)
-            kx = jnp.where(alive, nkx, kx)
-            ky = jnp.where(alive, nky, ky)
-            ks = jnp.where(alive, nks, ks)
-            score = jnp.where(alive, sc, score)
-            dead = alive & ~inb
-            alive = alive & inb & ~converged
-            ix = jnp.where(alive, nx, ix)
-            iy = jnp.where(alive, ny, iy)
-            # permanently kill out-of-bounds candidates by poisoning score
-            score = jnp.where(dead, -1.0, score)
-            kx = jnp.where(dead, -10.0, kx)
-            return ix, iy, alive, kx, ky, ks, score
+    def body(k, state):
+        ix, iy, alive, kx, ky, ks, score = state
+        N = n27(iy, ix)
+        bx, by, bs, sc = solve(N)
+        nkx = ix + jnp.clip(bx, -1, 1)
+        nky = iy + jnp.clip(by, -1, 1)
+        nks = lvl + bs
+        inb = (nkx >= 1) & (nkx <= W - 2) & (nky >= 1) & (nky <= H - 2)
+        nx = (nkx + 0.5).astype(jnp.int32)
+        ny = (nky + 0.5).astype(jnp.int32)
+        converged = (nx == ix) & (ny == iy)
+        kx = jnp.where(alive, nkx, kx)
+        ky = jnp.where(alive, nky, ky)
+        ks = jnp.where(alive, nks, ks)
+        score = jnp.where(alive, sc, score)
+        dead = alive & ~inb
+        alive = alive & inb & ~converged
+        ix = jnp.where(alive, nx, ix)
+        iy = jnp.where(alive, ny, iy)
+        # permanently kill out-of-bounds candidates by poisoning score
+        score = jnp.where(dead, -1.0, score)
+        kx = jnp.where(dead, -10.0, kx)
+        return ix, iy, alive, kx, ky, ks, score
 
-        init = (jj0, ii0, ext, jj0.astype(jnp.float32), ii0.astype(jnp.float32),
-                jnp.full((H, W), float(j), jnp.float32), jnp.full((H, W), -1.0))
-        ix, iy, alive, kx, ky, ks, score = jax.lax.fori_loop(0, 5, body, init)
-        final_val = c[iy.clip(0, H - 1), ix.clip(0, W - 1)]
-        # re-gather |dog| at the final integer location (all levels share c=dog[j])
-        et = (edge_threshold + 1.0) ** 2 / edge_threshold
-        valid = (ext & (kx > -5)
-                 & (jnp.abs(final_val) > peak_threshold)
-                 & (score >= 0) & (score < et)
-                 & (ks > 0) & (ks < nlevels - 1))
-        return valid, kx, ky, ks
-
-    results = [refine_level(j) for j in range(1, L1 - 1)]
-    valid = jnp.stack([r[0] for r in results])
-    kx = jnp.stack([r[1] for r in results])
-    ky = jnp.stack([r[2] for r in results])
-    ks = jnp.stack([r[3] for r in results])
+    cap = ix.shape[0]
+    init = (ix, iy, alive, ix.astype(jnp.float32), iy.astype(jnp.float32),
+            lvl.astype(jnp.float32), jnp.full((cap,), -1.0))
+    ix, iy, _, kx, ky, ks, score = jax.lax.fori_loop(0, 5, body, init)
+    final_val = dflat[(lvl * H + iy.clip(0, H - 1)) * W + ix.clip(0, W - 1)]
+    et = (edge_threshold + 1.0) ** 2 / edge_threshold
+    valid = (alive & (kx > -5)
+             & (jnp.abs(final_val) > peak_threshold)
+             & (score >= 0) & (score < et)
+             & (ks > 0) & (ks < nlevels - 1))
     return valid, kx, ky, ks
-
-
-@partial(jax.jit, static_argnames=("nlevels", "cap"))
-def find_keypoints_compact(dog, peak_threshold: float, edge_threshold: float,
-                           nlevels: int, cap: int):
-    """find_keypoints + on-device compaction to `cap` lanes.
-
-    Transferring the dense (L, H, W) planes to the host costs ~75 MB per
-    octave — multiple seconds over a tunneled device link; the compacted
-    form is a few KB. Returns (count, kxs, kys, kss, levels): `count` is
-    the true keypoint total (host re-runs at a bigger cap on overflow,
-    the SWT lane-rebucketing pattern)."""
-    valid, kx, ky, ks = find_keypoints(dog, peak_threshold, edge_threshold,
-                                       nlevels)
-    L, H, W = valid.shape
-    flat = valid.reshape(-1)
-    count = flat.sum(dtype=jnp.int32)
-    (idx,) = jnp.nonzero(flat, size=cap, fill_value=0)
-    lane = jnp.arange(cap) < count
-    kxs = jnp.where(lane, kx.reshape(-1)[idx], 0.0)
-    kys = jnp.where(lane, ky.reshape(-1)[idx], 0.0)
-    kss = jnp.where(lane, ks.reshape(-1)[idx], 1.0)
-    levels = jnp.where(lane, (idx // (H * W)).astype(jnp.int32) + 1, 1)
-    return count, kxs, kys, kss, levels
-
 
 
 ORI_GRID = 16  # sample grid per axis over the +-3 sigma_w orientation disc
@@ -383,18 +356,28 @@ def _octave_program(g0, peak_threshold: float, edge_threshold: float,
     dog, th, md = _build_pyramids(g0, nlevels, up2x_octave)
     L, H, W = dog.shape
 
-    valid, kx, ky, ks = find_keypoints(dog, peak_threshold, edge_threshold,
-                                       nlevels)
-    flat = valid.reshape(-1)
+    # dense extrema (elementwise) -> compact to `cap` lanes -> refine the
+    # LANES only (the 5-step quadratic fit gathers 27 x cap elements per
+    # step instead of 27 full planes per level per step)
+    ext = _dense_extrema(dog, peak_threshold)
+    flat = ext.reshape(-1)
     count = flat.sum(dtype=jnp.int32)
     (idx,) = jnp.nonzero(flat, size=cap, fill_value=0)
     lane = jnp.arange(cap) < count
-    kxs = jnp.where(lane, kx.reshape(-1)[idx], 0.0)
-    kys = jnp.where(lane, ky.reshape(-1)[idx], 0.0)
-    kss = jnp.where(lane, ks.reshape(-1)[idx], 1.0)
-    levels = jnp.where(lane, (idx // (H * W)).astype(jnp.int32) + 1, 1)
+    lvl = jnp.where(lane, (idx // (H * W)).astype(jnp.int32) + 1, 1)
+    rem = (idx % (H * W)).astype(jnp.int32)
+    iy0 = jnp.where(lane, rem // W, 1)
+    ix0 = jnp.where(lane, rem % W, 1)
+    valid, kxs, kys, kss = _refine_lanes(dog, lvl, ix0, iy0, lane,
+                                         peak_threshold, edge_threshold,
+                                         nlevels)
+    kxs = jnp.where(valid, kxs, 0.0)
+    kys = jnp.where(valid, kys, 0.0)
+    kss = jnp.where(valid, kss, 1.0)
+    levels = jnp.where(valid, lvl, 1)
     sigma = SIGMA0 * sigmak * jnp.power(2.0, kss / (nlevels - 3))
-    vmask = lane.astype(jnp.float32)
+    vmask = valid.astype(jnp.float32)
+    lane = valid  # downstream peak selection keys off surviving lanes
 
     # (gx, gy) vector planes for interpolated grid sampling (th is in
     # degrees from basic.gradient); shared by orientation + descriptors
@@ -446,54 +429,55 @@ def _bucket(n: int) -> int:
 _CAP_HINT: dict = {}   # (H, W, octave) -> (count, entry count) last seen
 
 
-def sift(a, params: Optional[SiftParams] = None, want_desc: bool = True):
-    """ccv_sift twin (ccv_sift.c:172): returns (keypoints, descriptors).
+def sift_many(imgs, params: Optional[SiftParams] = None,
+              want_desc: bool = True):
+    """SIFT over a LIST of images with one synchronization point.
 
-    keypoints: list of dicts {x, y, octave, level, scale, angle} in input
-    coordinates; descriptors: (N, 128) float32 numpy or None.
-
-    Every octave runs as ONE fused device program (_octave_program); all
-    octaves dispatch before a single batched device_get — in steady state
-    one transfer and zero mid-pipeline syncs per image.
-    """
+    Stages every octave program of every image before a single batched
+    device_get (bin/siftmatch runs object + scene: dispatching both
+    images' octaves back-to-back hides per-octave latency behind the
+    device queue). Returns [(keypoints, descriptors), ...]."""
     from ccv_tpu.core.dense_matrix import as_array
 
     params = params or SiftParams()
-    img = as_array(a)
-    if img.ndim == 3:
-        img = img[..., 0]
     nlevels = params.nlevels
-
-    # octave inputs: next octave = sample_down of the previous octave's
-    # g[0]-equivalent (ccv_sift.c:233); -1 = the 2x upsampled octave
-    chain = [img]
-    for oi in range(1, params.noctaves):
-        chain.append(resample.sample_down(chain[-1]))
-    all_octaves = ([(-1, resample.sample_up(img))] if params.up2x else []) + [
-        (i, chain[i]) for i in range(params.noctaves)]
 
     def dispatch(oct_i, g0, cap, cap_e):
         return _octave_program(
             g0, params.peak_threshold, params.edge_threshold, nlevels,
             cap, cap_e, want_desc, oct_i == -1)
 
-    staged = []
-    for oct_i, g0 in all_octaves:
-        hkey = (int(g0.shape[0]), int(g0.shape[1]), oct_i)
-        hint = _CAP_HINT.get(hkey)
-        if hint is None:
-            cap = _bucket((int(g0.shape[0]) * int(g0.shape[1])) // 1024)
-            cap_e = 2 * cap
-        else:
-            cap, cap_e = _bucket(hint[0]), _bucket(max(hint[1], 32))
-        staged.append((oct_i, g0, cap, cap_e,
-                       dispatch(oct_i, g0, cap, cap_e)))
+    staged = []       # (img_i, oct_i, g0, cap, cap_e, pending)
+    for img_i, a in enumerate(imgs):
+        img = as_array(a)
+        if img.ndim == 3:
+            img = img[..., 0]
+        # octave inputs: next octave = sample_down of the previous
+        # octave's g[0]-equivalent (ccv_sift.c:233); -1 = 2x upsampled
+        chain = [img]
+        for oi in range(1, params.noctaves):
+            chain.append(resample.sample_down(chain[-1]))
+        all_octaves = ([(-1, resample.sample_up(img))] if params.up2x
+                       else []) + [(i, chain[i])
+                                   for i in range(params.noctaves)]
+        for oct_i, g0 in all_octaves:
+            hkey = (int(g0.shape[0]), int(g0.shape[1]), oct_i)
+            hint = _CAP_HINT.get(hkey)
+            if hint is None:
+                # `count` is the RAW extrema count (pre-refine):
+                # ~0.1-0.3% of pixels per level; //256 over-provisions so
+                # the first call rarely needs an overflow re-run
+                cap = _bucket((int(g0.shape[0]) * int(g0.shape[1])) // 256)
+                cap_e = cap
+            else:
+                cap, cap_e = _bucket(hint[0]), _bucket(max(hint[1], 32))
+            staged.append((img_i, oct_i, g0, cap, cap_e,
+                           dispatch(oct_i, g0, cap, cap_e)))
 
-    results = jax.device_get([s[4] for s in staged])
+    results = jax.device_get([s[5] for s in staged])
 
-    keypoints = []
-    desc_rows = []
-    for (oct_i, g0, cap, cap_e, _), r in zip(staged, results):
+    out = [([], []) for _ in imgs]
+    for (img_i, oct_i, g0, cap, cap_e, _), r in zip(staged, results):
         n, ne = int(r["count"]), int(r["ecount"])
         hkey = (int(g0.shape[0]), int(g0.shape[1]), oct_i)
         _CAP_HINT[hkey] = (n, ne)
@@ -512,6 +496,7 @@ def sift(a, params: Optional[SiftParams] = None, want_desc: bool = True):
         s = 2.0 ** oct_i
         ekx, eky = r["ekx"], r["eky"]
         esig, elvl, eang = r["esig"], r["elvl"], r["eang"]
+        keypoints, desc_rows = out[img_i]
         for i in range(ne):
             keypoints.append(dict(
                 x=float(ekx[i] * s), y=float(eky[i] * s), octave=oct_i,
@@ -520,8 +505,25 @@ def sift(a, params: Optional[SiftParams] = None, want_desc: bool = True):
         if want_desc:
             desc_rows.append(r["desc"][:ne])
 
-    desc = np.concatenate(desc_rows, 0).astype(np.float32) if desc_rows else None
-    return keypoints, desc
+    final = []
+    for keypoints, desc_rows in out:
+        desc = (np.concatenate(desc_rows, 0).astype(np.float32)
+                if desc_rows else None)
+        final.append((keypoints, desc))
+    return final
+
+
+def sift(a, params: Optional[SiftParams] = None, want_desc: bool = True):
+    """ccv_sift twin (ccv_sift.c:172): returns (keypoints, descriptors).
+
+    keypoints: list of dicts {x, y, octave, level, scale, angle} in input
+    coordinates; descriptors: (N, 128) float32 numpy or None.
+
+    Every octave runs as ONE fused device program (_octave_program); all
+    octaves dispatch before a single batched device_get — in steady state
+    one transfer and zero mid-pipeline syncs per image.
+    """
+    return sift_many([a], params, want_desc)[0]
 
 
 def match(desc1: np.ndarray, desc2: np.ndarray, ratio: float = 0.36):

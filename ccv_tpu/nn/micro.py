@@ -168,10 +168,16 @@ class _Expr:
                 return a - b
             if kind == "*":
                 return a * b
-            # integer division, truncating like the C interpreter
+            # integer division, truncating toward zero like the C
+            # interpreter (floor division differs for negative
+            # intermediates, e.g. (i0 - 1) / 2 at i0 = 0 must be 0)
             if isinstance(a, (int, np.integer)) and isinstance(b, (int, np.integer)):
-                return int(a) // int(b)
-            return jnp.floor_divide(a, b)
+                q = abs(int(a)) // abs(int(b))
+                return -q if (a < 0) != (b < 0) else q
+            q = jnp.floor_divide(a, b)
+            rem = a - q * b
+            # floor rounded down past zero where signs differ: bump back up
+            return jnp.where((rem != 0) & ((a < 0) != (b < 0)), q + 1, q)
         return ev(self._ast)
 
 
@@ -307,6 +313,10 @@ def _eval(node: MicroIO, env: Dict[int, Any], params: Dict[str, int]):
                         f"shape annotation {e.text!r} violated: {lhs} != {rhs}")
         coords = [jax.lax.broadcasted_iota(jnp.int32, out_shape, d)
                   for d in range(len(out_shape))]
+        if len(node.reindex_exprs) != x.ndim:
+            raise ValueError(
+                f"reindex expects {x.ndim} index expressions for a rank-"
+                f"{x.ndim} input, got {len(node.reindex_exprs)}")
         idx = [e.eval(dims, params, coords) for e in node.reindex_exprs]
         idx = [jnp.broadcast_to(jnp.asarray(i, jnp.int32), out_shape)
                for i in idx]

@@ -150,3 +150,23 @@ def test_micro_emit_artifact():
     comb = micro.Combine([x], [], [y])
     text = comb.emit([], [(8,)])
     assert "exp" in text  # the lowered module names the op
+
+
+def test_micro_index_division_truncates_toward_zero():
+    """C semantics: (i0 - 1) / 2 at i0 = 0 is 0 (not floor's -1), so the
+    out-of-bounds mask keeps index 0 in range (ADVICE r3)."""
+    x = micro.input(1)
+    y = micro.reindex(["dA0"], [x], ["(i0 - 1) / 2"], x)
+    c = micro.Combine([x], [], [y], [], [])
+    src = np.arange(4, dtype=np.float32) + 1.0
+    (out,) = c.interpret("forward", [src], [])
+    # i0=0 -> (0-1)/2 = 0 (trunc); i0=1 -> 0; i0=2 -> 0; i0=3 -> 1
+    np.testing.assert_allclose(out, [1.0, 1.0, 1.0, 2.0])
+
+
+def test_micro_reindex_rank_mismatch_raises():
+    x = micro.input(2)
+    y = micro.reindex(["dA0"], [x], ["i0"], x)  # rank-2 input, 1 index
+    c = micro.Combine([x], [], [y], [], [])
+    with pytest.raises(ValueError, match="index expressions"):
+        c.interpret("forward", [np.zeros((2, 2), np.float32)], [])
