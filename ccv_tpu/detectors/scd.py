@@ -219,6 +219,9 @@ def _phase_tables(cascade: ScdClassifierCascade, feats: np.ndarray):
         onehot[cascade.stage_of[feats] == s, si] = 1.0
     return dict(
         M=jnp.asarray(M), offsets=uniq.astype(np.int32),
+        # per-box corner rows of Dt: box = Dt[c0] - Dt[c1] - Dt[c2] + Dt[c3]
+        # (the TPU exact path gathers rows in f32 instead of a matmul)
+        cidx=jnp.asarray(inv.reshape(F * 4, 4).astype(np.int32)),
         w=jnp.asarray(cascade.w[feats]), bias=jnp.asarray(cascade.bias[feats]),
         onehot=jnp.asarray(onehot),
         thresholds=jnp.asarray(cascade.thresholds[stages]))
@@ -312,15 +315,25 @@ def _surf_from_Dt(Dt, n, phase):
     M, w, bias = phase["M"], phase["w"], phase["bias"]
     exact = TPU_EXACT_BOX_SUMS and jax.default_backend() != "cpu"
     if exact:
-        # see TPU_EXACT_BOX_SUMS: exact-invariant centering (row 0 is
-        # corner 0 for every (window, channel) column; every corner row
-        # of M sums to zero) + HIGHEST-precision matmul keep the MXU
-        # box sums f32-exact. CPU f32 matmuls don't need it — left
-        # untouched so the bit-exact parity oracles keep passing.
-        Dt = Dt - Dt[0:1, :]
-    prec = jax.lax.Precision.HIGHEST if exact else None
-    box = jnp.matmul(M, Dt, preferred_element_type=jnp.float32,
-                     precision=prec)
+        # see TPU_EXACT_BOX_SUMS: every row of M is exactly 4 signed SAT
+        # corners, so the box sums ARE 4 f32 row reads of Dt + 3 VPU adds
+        # — the same corner arithmetic the reference does per window
+        # (ccv_scd.c:502-533), exact in f32 with NO matmul precision
+        # passes at all. (Round 3 ran this as a centered HIGHEST-precision
+        # matmul: window-exact but 6 bf16 passes on every phase — it cost
+        # 3x the whole detect throughput. The rows here are n*8 floats
+        # wide and contiguous, so the gather streams at HBM rate, unlike
+        # the tiny 8-float corner gathers that motivated the dense forms.)
+        ci = phase["cidx"]
+        box = (jnp.take(Dt, ci[:, 0], axis=0)
+               - jnp.take(Dt, ci[:, 1], axis=0)
+               - jnp.take(Dt, ci[:, 2], axis=0)
+               + jnp.take(Dt, ci[:, 3], axis=0))
+        prec = jax.lax.Precision.HIGHEST
+    else:
+        prec = None
+        box = jnp.matmul(M, Dt, preferred_element_type=jnp.float32,
+                         precision=prec)
     F = w.shape[0]
     surf = box.reshape(F, 4, n, 8).transpose(2, 0, 1, 3).reshape(n, F, 32)
     # L2Hys: normalize, clamp, renormalize (ccv_scd.c:502-533)
@@ -549,6 +562,13 @@ def _tiled_phase(tabs, name: str, step: int):
         cached = dict(phase)
         cached["M"] = jnp.asarray(_tile_selector(
             phase["offsets"], th, tw, step, np.asarray(phase["M"])))
+        # remap the exact-path corner rows into the same tile-linear
+        # domain (rows of the tile-layout Dt)
+        off = np.asarray(phase["offsets"])
+        lin = ((((off[:, 0] % step) * step + off[:, 1] % step) * th
+                + off[:, 0] // step) * tw + off[:, 1] // step)
+        cached["cidx"] = jnp.asarray(
+            lin.astype(np.int32)[np.asarray(phase["cidx"])])
         tabs[("tiled", name, step)] = cached
     return cached
 
@@ -713,17 +733,39 @@ def _get_octave_fn(src_shape, lspecs, cascade: ScdClassifierCascade,
                 jnp.zeros((), jnp.float32))
         if batch:
             # reuse the single-image octave's measured choice (same
-            # geometry, avoids compiling 2 batched variants)
+            # geometry, avoids compiling 2 batched variants); on a cache
+            # miss (batch-first workload) MEASURE the single-image
+            # variants as the geometry proxy instead of silently locking
+            # in a default
             args1 = (jnp.zeros(src_shape, jnp.float32),
                      jnp.zeros((), jnp.float32))
-            name = autotune.recorded(
-                "scd_octave_exact", args1,
-                extra=_octave_extra(lspecs, cascade, step, False))
+            extra1 = _octave_extra(lspecs, cascade, step, False)
+            name = autotune.recorded("scd_octave_exact", args1, extra=extra1)
+            if name is None:
+                key1 = (id(cascade), src_shape, tuple(
+                    (k, r, c, ny, nx) for (k, r, c, ny, nx) in lspecs),
+                    step, has_next, False)
+                build1 = _octave_builder(src_shape, lspecs, cascade, step,
+                                         tabs, has_next, False)
+                autotune.choose("scd_octave_exact",
+                                _octave_variants(key1, build1), args1,
+                                default="pallas", extra=extra1)
+                name = autotune.recorded("scd_octave_exact", args1,
+                                         extra=extra1)
             fn = build(name or "pallas")
         else:
             variants = _octave_variants(key, build)
             fn = autotune.choose("scd_octave_exact", variants, args,
                                  default="pallas", extra=extra)
+            winner = autotune.recorded("scd_octave_exact", args, extra=extra)
+            if winner is not None:
+                # evict the losing variant: a whole-octave program + its
+                # traced-in device tables is ~100 MB that would otherwise
+                # live in _LEVEL_CACHE forever
+                vd = _LEVEL_CACHE.get(("variants",) + key)
+                if vd:
+                    for nm in [n for n in vd if n != winner]:
+                        vd.pop(nm)
     else:
         fn = build(None)
     _LEVEL_CACHE[key] = fn
@@ -733,7 +775,10 @@ def _get_octave_fn(src_shape, lspecs, cascade: ScdClassifierCascade,
 def _octave_extra(lspecs, cascade, step: int, batch: bool) -> str:
     geom = "o" + ";".join(f"{r}x{c}g{ny}x{nx}"
                           for (_k, r, c, ny, nx) in lspecs)
-    return f"{geom}s{step}n{len(cascade.stage_counts)}b{int(batch)}"
+    # v2 = exact box sums via f32 corner-row gathers (round 4); the "xla"
+    # variant's cost changed, so round-3 centered-matmul decisions are
+    # stale and must re-measure
+    return f"{geom}s{step}n{len(cascade.stage_counts)}b{int(batch)}v2"
 
 
 def _octave_variants(key, build):

@@ -336,20 +336,43 @@ def _build_pyramids(g0, nlevels: int, up2x_octave: bool):
     return jnp.stack(dogs), jnp.stack(ths), jnp.stack(mds)
 
 
-@partial(jax.jit, static_argnames=("nlevels", "cap", "cap_e", "want_desc",
-                                   "up2x_octave"))
-def _octave_program(g0, peak_threshold: float, edge_threshold: float,
-                    nlevels: int, cap: int, cap_e: int, want_desc: bool,
-                    up2x_octave: bool):
-    """The WHOLE per-octave pipeline as one device program: pyramid ->
-    extrema+refine -> compact to `cap` keypoint lanes -> orientation
-    histograms -> peak selection -> compact to `cap_e` (keypoint, angle)
-    entries -> descriptors.
+def _compact_mask(flat, cap: int, block: int = 256):
+    """Indices of the first `cap` set bits of `flat`, in scan order.
 
-    One program, one small transfer: the previous staged form synced the
-    dense (L, H, W) planes per stage — measured 12.9 s of a 13.7 s
-    sift() call was device->host transfer over the tunneled link. Caps
-    are bucketed from per-shape hints; the true counts ride back with the
+    Two-level compaction: jnp.nonzero's cumsum+scatter over the full
+    plane cost ~17 ms per big octave on the v5e; reducing to nonempty
+    `block`-sized blocks first (a nonempty block holds >=1 set bit, so
+    count <= cap implies <= cap nonempty blocks — taking `cap` blocks is
+    lossless whenever the caller's overflow re-run wouldn't fire anyway)
+    makes the scatter domain cap*block instead of H*W*L. Measured ~1 ms
+    at the scene -1-octave size. Returns (idx, count)."""
+    n = flat.shape[0]
+    pad = (-n) % block
+    mp = jnp.pad(flat, (0, pad))
+    nb = mp.shape[0] // block
+    mb = mp.reshape(nb, block)
+    blk_any = mb.any(1)
+    nblk = blk_any.sum(dtype=jnp.int32)
+    (bidx,) = jnp.nonzero(blk_any, size=cap, fill_value=nb - 1)
+    # fill blocks repeat block nb-1: mask everything past the true count
+    sub = mb[bidx].reshape(-1) & jnp.repeat(jnp.arange(cap) < nblk, block)
+    (sidx,) = jnp.nonzero(sub, size=cap, fill_value=0)
+    idx = bidx[sidx // block] * block + sidx % block
+    return idx, flat.sum(dtype=jnp.int32)
+
+
+def _octave_body(g0, peak_threshold: float, edge_threshold: float,
+                 nlevels: int, cap: int, cap_e: int, want_desc: bool,
+                 up2x_octave: bool):
+    """The WHOLE per-octave pipeline as one traced block: pyramid ->
+    extrema -> compact to `cap` keypoint lanes -> refine the lanes ->
+    orientation histograms -> peak selection -> compact to `cap_e`
+    (keypoint, angle) entries -> descriptors.
+
+    Caller composes several of these into ONE device program
+    (_sift_program): the tunneled link costs ~29 ms per program
+    execution, so 8 separate octave programs paid ~230 ms of pure
+    round-trip before any compute. The true counts ride back with the
     results, and the host re-runs an octave at bigger caps on overflow
     (the SWT lane-rebucketing pattern)."""
     sigmak = 2.0 ** (1.0 / (nlevels - 3))
@@ -361,8 +384,7 @@ def _octave_program(g0, peak_threshold: float, edge_threshold: float,
     # step instead of 27 full planes per level per step)
     ext = _dense_extrema(dog, peak_threshold)
     flat = ext.reshape(-1)
-    count = flat.sum(dtype=jnp.int32)
-    (idx,) = jnp.nonzero(flat, size=cap, fill_value=0)
+    idx, count = _compact_mask(flat, cap)
     lane = jnp.arange(cap) < count
     lvl = jnp.where(lane, (idx // (H * W)).astype(jnp.int32) + 1, 1)
     rem = (idx % (H * W)).astype(jnp.int32)
@@ -417,6 +439,35 @@ def _octave_program(g0, peak_threshold: float, edge_threshold: float,
     return out
 
 
+_octave_program = partial(jax.jit, static_argnames=(
+    "nlevels", "cap", "cap_e", "want_desc", "up2x_octave"))(_octave_body)
+
+
+@partial(jax.jit, static_argnames=("nlevels", "spec", "want_desc"))
+def _sift_program(imgs, peak_threshold: float, edge_threshold: float,
+                  nlevels: int, spec, want_desc: bool):
+    """EVERY octave of EVERY image as one device program, one sync.
+
+    imgs: tuple of (H, W) float planes; spec: per-image tuple of
+    (oct_i, cap, cap_e) — oct_i == -1 is the 2x-upsampled octave, i >= 0
+    reads the i-fold sample_down chain (ccv_sift.c:233). The tunneled
+    device link costs ~29 ms per program execution and does not overlap
+    queued executions, so fusing the bench pair's 8 octave programs into
+    one brings the pair from ~620 ms to ~sync + sum-of-compute."""
+    outs = []
+    for img, ispec in zip(imgs, spec):
+        chain = [img]
+        for oct_i, cap, cap_e in ispec:
+            if oct_i >= 0:
+                while len(chain) <= oct_i:
+                    chain.append(resample.sample_down(chain[-1]))
+            g0 = resample.sample_up(img) if oct_i == -1 else chain[oct_i]
+            outs.append(_octave_body(g0, peak_threshold, edge_threshold,
+                                     nlevels, cap, cap_e, want_desc,
+                                     oct_i == -1))
+    return tuple(outs)
+
+
 def _bucket(n: int) -> int:
     """Round a keypoint count up to a power of two (min 32) so repeated
     calls hit the jit compile cache (the SWT _BUCKETS pattern)."""
@@ -426,70 +477,90 @@ def _bucket(n: int) -> int:
     return b
 
 
-_CAP_HINT: dict = {}   # (H, W, octave) -> (count, entry count) last seen
+_CAP_HINT: dict = {}   # (H, W, octave) -> (count, entry count) high-water
+
+
+def _octave_caps(H: int, W: int, oct_i: int):
+    """Static (cap, cap_e) for an octave: shape-derived guess, grown by
+    the per-shape high-water hint. Caps only ever GROW — shrinking to a
+    measured count forced a second full compile of the fused program on
+    every fresh process (the round-3 '5.2 s steady state' was really a
+    hint-shrink recompile)."""
+    oh = H << 1 if oct_i == -1 else H >> max(oct_i, 0)
+    ow = W << 1 if oct_i == -1 else W >> max(oct_i, 0)
+    # extrema density rises as octaves shrink (scene oct2 hits 0.6% of
+    # pixels); the 128 floor keeps small octaves from overflowing their
+    # //256 guess, which would cost a one-off recompile
+    guess = max(_bucket((oh * ow) // 256), 128)
+    hint = _CAP_HINT.get((oh, ow, oct_i))
+    if hint is None:
+        return guess, guess
+    return (max(guess, _bucket(hint[0])),
+            max(guess, _bucket(max(hint[1], 32))))
 
 
 def sift_many(imgs, params: Optional[SiftParams] = None,
               want_desc: bool = True):
-    """SIFT over a LIST of images with one synchronization point.
+    """SIFT over a LIST of images as ONE device program + ONE sync.
 
-    Stages every octave program of every image before a single batched
-    device_get (bin/siftmatch runs object + scene: dispatching both
-    images' octaves back-to-back hides per-octave latency behind the
-    device queue). Returns [(keypoints, descriptors), ...]."""
+    bin/siftmatch runs object + scene: both images' full octave
+    pyramids compile into a single program (_sift_program), so the pair
+    costs one ~29 ms tunnel round-trip plus pure compute. Returns
+    [(keypoints, descriptors), ...]."""
     from ccv_tpu.core.dense_matrix import as_array
 
     params = params or SiftParams()
     nlevels = params.nlevels
 
-    def dispatch(oct_i, g0, cap, cap_e):
-        return _octave_program(
-            g0, params.peak_threshold, params.edge_threshold, nlevels,
-            cap, cap_e, want_desc, oct_i == -1)
-
-    staged = []       # (img_i, oct_i, g0, cap, cap_e, pending)
+    planes, spec, meta = [], [], []
     for img_i, a in enumerate(imgs):
         img = as_array(a)
         if img.ndim == 3:
             img = img[..., 0]
-        # octave inputs: next octave = sample_down of the previous
-        # octave's g[0]-equivalent (ccv_sift.c:233); -1 = 2x upsampled
-        chain = [img]
-        for oi in range(1, params.noctaves):
-            chain.append(resample.sample_down(chain[-1]))
-        all_octaves = ([(-1, resample.sample_up(img))] if params.up2x
-                       else []) + [(i, chain[i])
-                                   for i in range(params.noctaves)]
-        for oct_i, g0 in all_octaves:
-            hkey = (int(g0.shape[0]), int(g0.shape[1]), oct_i)
-            hint = _CAP_HINT.get(hkey)
-            if hint is None:
-                # `count` is the RAW extrema count (pre-refine):
-                # ~0.1-0.3% of pixels per level; //256 over-provisions so
-                # the first call rarely needs an overflow re-run
-                cap = _bucket((int(g0.shape[0]) * int(g0.shape[1])) // 256)
-                cap_e = cap
-            else:
-                cap, cap_e = _bucket(hint[0]), _bucket(max(hint[1], 32))
-            staged.append((img_i, oct_i, g0, cap, cap_e,
-                           dispatch(oct_i, g0, cap, cap_e)))
+        # keep the ORIGINAL dtype: sample_down/up use exact integer
+        # arithmetic for int inputs (truncating /256), matching the
+        # reference's u8 octave chain; _build_pyramids casts to f32
+        planes.append(jnp.asarray(img))
+        H, W = int(img.shape[0]), int(img.shape[1])
+        octs = ([-1] if params.up2x else []) + list(range(params.noctaves))
+        ispec = []
+        for oct_i in octs:
+            cap, cap_e = _octave_caps(H, W, oct_i)
+            ispec.append((oct_i, cap, cap_e))
+            meta.append((img_i, oct_i, H, W, cap, cap_e))
+        spec.append(tuple(ispec))
 
-    results = jax.device_get([s[5] for s in staged])
+    results = jax.device_get(_sift_program(
+        tuple(planes), params.peak_threshold, params.edge_threshold,
+        nlevels, tuple(spec), want_desc))
 
     out = [([], []) for _ in imgs]
-    for (img_i, oct_i, g0, cap, cap_e, _), r in zip(staged, results):
+    for (img_i, oct_i, H, W, cap, cap_e), r in zip(meta, results):
         n, ne = int(r["count"]), int(r["ecount"])
-        hkey = (int(g0.shape[0]), int(g0.shape[1]), oct_i)
-        _CAP_HINT[hkey] = (n, ne)
+        oh = H << 1 if oct_i == -1 else H >> max(oct_i, 0)
+        ow = W << 1 if oct_i == -1 else W >> max(oct_i, 0)
+        hkey = (oh, ow, oct_i)
+        prev = _CAP_HINT.get(hkey, (0, 0))
+        _CAP_HINT[hkey] = (max(prev[0], n), max(prev[1], ne))
         # overflowed caps drop keypoints: re-run this octave bigger (the
-        # entry count can only be trusted once the keypoint cap holds)
+        # entry count can only be trusted once the keypoint cap holds).
+        # Rare by construction (caps over-provision ~2x), so the one-off
+        # octave recompile is acceptable.
         tries = 0
         while (n > cap or ne > cap_e) and tries < 4:
             cap = _bucket(n)
             cap_e = _bucket(max(ne, 32))
-            r = jax.device_get(dispatch(oct_i, g0, cap, cap_e))
+            g0 = planes[img_i]
+            for _ in range(max(oct_i, 0)):
+                g0 = resample.sample_down(g0)
+            if oct_i == -1:
+                g0 = resample.sample_up(planes[img_i])
+            r = jax.device_get(_octave_program(
+                g0, params.peak_threshold, params.edge_threshold,
+                nlevels, cap, cap_e, want_desc, oct_i == -1))
             n, ne = int(r["count"]), int(r["ecount"])
-            _CAP_HINT[hkey] = (n, ne)
+            prev = _CAP_HINT.get(hkey, (0, 0))
+            _CAP_HINT[hkey] = (max(prev[0], n), max(prev[1], ne))
             tries += 1
         if ne == 0:
             continue
@@ -524,6 +595,99 @@ def sift(a, params: Optional[SiftParams] = None, want_desc: bool = True):
     one transfer and zero mid-pipeline syncs per image.
     """
     return sift_many([a], params, want_desc)[0]
+
+
+def _match_core(D1, v1, D2, v2, ratio: float):
+    """Ratio-test NN matching over PADDED descriptor rows on device.
+
+    D1 (N1, 128) against D2 (N2, 128) with validity masks; invalid
+    columns are excluded via +inf distance, invalid rows report ok =
+    False. One MXU matmul + top-2."""
+    dots = jnp.dot(D1, D2.T, preferred_element_type=jnp.float32)
+    n1 = jnp.sum(D1 * D1, axis=1, keepdims=True)
+    n2 = jnp.sum(D2 * D2, axis=1)
+    dist = n1 + n2[None, :] - 2.0 * dots
+    dist = jnp.where(v2[None, :], dist, jnp.inf)
+    neg, idx = jax.lax.top_k(-dist, 2)
+    best, second = -neg[:, 0], -neg[:, 1]
+    ok = v1 & (best < ratio * second)
+    return idx[:, 0], ok
+
+
+@partial(jax.jit, static_argnames=("nlevels", "spec", "ratio"))
+def _pair_match_program(imgs, peak_threshold: float, edge_threshold: float,
+                        nlevels: int, spec, ratio: float):
+    """bin/siftmatch as ONE device program: both pyramids, keypoints,
+    descriptors AND ratio-test matching — descriptors never leave the
+    device (the padded (sum cap_e, 128) f32 rows cost ~100 ms over the
+    tunneled link; the match result is a few KB)."""
+    outs = list(_sift_program(imgs, peak_threshold, edge_threshold,
+                              nlevels, spec, True))
+    rows, vals = [], []
+    k = 0
+    for ispec in spec:
+        D = jnp.concatenate([outs[k + j]["desc"]
+                             for j in range(len(ispec))], 0)
+        v = jnp.concatenate(
+            [jnp.arange(ispec[j][2]) < outs[k + j]["ecount"]
+             for j in range(len(ispec))], 0)
+        rows.append(D)
+        vals.append(v)
+        k += len(ispec)
+    midx, mok = _match_core(rows[0], vals[0], rows[1], vals[1], ratio)
+    slim = [{key: val for key, val in o.items() if key != "desc"}
+            for o in outs]
+    return tuple(slim), midx, mok
+
+
+def match_pair(a, b, params: Optional[SiftParams] = None,
+               ratio: float = 0.36):
+    """bin/siftmatch.c twin: SIFT both images and match, one round-trip.
+
+    Returns (kps1, kps2, pairs) where pairs is a list of (i1, i2)
+    keypoint-list indices passing the squared-distance ratio test."""
+    from ccv_tpu.core.dense_matrix import as_array
+
+    params = params or SiftParams()
+    planes, spec = [], []
+    for a_ in (a, b):
+        img = as_array(a_)
+        if img.ndim == 3:
+            img = img[..., 0]
+        planes.append(jnp.asarray(img))
+        H, W = int(img.shape[0]), int(img.shape[1])
+        octs = ([-1] if params.up2x else []) + list(range(params.noctaves))
+        spec.append(tuple((oct_i,) + _octave_caps(H, W, oct_i)
+                          for oct_i in octs))
+
+    outs, midx, mok = jax.device_get(_pair_match_program(
+        tuple(planes), params.peak_threshold, params.edge_threshold,
+        params.nlevels, tuple(spec), ratio))
+
+    kps = [[], []]
+    # padded row -> keypoint-list index, per image
+    rowmap = [{}, {}]
+    k = 0
+    row_base = [0, 0]
+    for img_i, ispec in enumerate(spec):
+        for j, (oct_i, cap, cap_e) in enumerate(ispec):
+            r = outs[k + j]
+            ne = min(int(r["ecount"]), cap_e)
+            s = 2.0 ** oct_i
+            for i in range(ne):
+                rowmap[img_i][row_base[img_i] + i] = len(kps[img_i])
+                kps[img_i].append(dict(
+                    x=float(r["ekx"][i] * s), y=float(r["eky"][i] * s),
+                    octave=oct_i, level=int(r["elvl"][i]),
+                    scale=float(r["esig"][i]), angle=float(r["eang"][i])))
+            row_base[img_i] += cap_e
+        k += len(ispec)
+
+    pairs = []
+    for r1, (r2, ok) in enumerate(zip(midx, mok)):
+        if ok and r1 in rowmap[0] and int(r2) in rowmap[1]:
+            pairs.append((rowmap[0][r1], rowmap[1][int(r2)]))
+    return kps[0], kps[1], pairs
 
 
 def match(desc1: np.ndarray, desc2: np.ndarray, ratio: float = 0.36):

@@ -48,6 +48,31 @@ def test_sift_keypoints_match_reference(book_result):
     assert frac >= 0.97, f"only {frac:.3f} of reference keypoints matched"
 
 
+@requires_reference
+@pytest.mark.slow
+def test_sift_angles_match_reference(book_result):
+    # guards the fixed-grid orientation rewrite: every reference keypoint
+    # must have a same-position keypoint of OURS whose angle agrees
+    # (keypoints with multiple orientation peaks appear once per angle, so
+    # nearest-neighbor pairing alone would mispair ~20% of twins)
+    kps, desc = book_result
+    ref = np.loadtxt(os.path.join(DATA, "book.sift.txt"))
+    mine = np.array([[k["x"], k["y"], k["angle"]] for k in kps])
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(mine[:, :2])
+    good = 0
+    for r in ref:
+        ids = tree.query_ball_point(r[:2], 1.0)
+        if not ids:
+            continue
+        da = np.abs((mine[ids, 2] - r[5] + np.pi) % (2 * np.pi) - np.pi)
+        if da.min() < 0.15:
+            good += 1
+    frac = good / len(ref)
+    assert frac >= 0.95, f"only {frac:.3f} of reference angles matched"
+
+
 @pytest.fixture(scope="module")
 def crop_result():
     img = read(os.path.join(REF_SAMPLES, "book.png"), IO_GRAY)
