@@ -24,6 +24,35 @@ from typing import Any, Callable, Dict, List, Optional, Sequence
 import numpy as np
 
 
+class _CsvColumn:
+    """Lazy column view into the CSV file buffer: (start, end) byte
+    offsets per row, decoded only on access (the reference's char*
+    pointers into the mmapped chunk, dataframe_csv.c)."""
+
+    __slots__ = ("_data", "_starts", "_ends")
+
+    def __init__(self, data: bytes, starts: np.ndarray, ends: np.ndarray):
+        self._data = data
+        self._starts = starts
+        self._ends = ends
+
+    def __len__(self):
+        return len(self._starts)
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return [self[j] for j in range(*i.indices(len(self)))]
+        return self._data[int(self._starts[i]):int(self._ends[i])].decode()
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+    def numeric(self, dtype=np.float32) -> np.ndarray:
+        """Whole-column numeric parse in one numpy pass."""
+        return np.array([self[i] for i in range(len(self))], dtype=dtype)
+
+
 class Dataframe:
     def __init__(self, columns: Dict[str, Any], n: int):
         self._columns = dict(columns)   # name -> list | ndarray | (fn, src)
@@ -49,20 +78,100 @@ class Dataframe:
         return cls(arrays, ns.pop())
 
     @classmethod
-    def from_csv(cls, path: str, header: bool = True) -> "Dataframe":
-        """ccv_cnnp_dataframe_from_csv_new twin (dataframe_csv.c)."""
-        with open(path, newline="") as f:
-            rows = list(_csv.reader(f))
-        if not rows:
+    def from_csv(cls, path: str, header: bool = True,
+                 delim: str = ",") -> "Dataframe":
+        """ccv_cnnp_dataframe_from_csv_new twin (dataframe_csv.c:531).
+
+        The reference parses in two passes over parallel file chunks and
+        hands out char* pointers into the buffer rather than copying
+        fields. This mirrors that shape: pass 1 locates every row/field
+        boundary with vectorized byte scans (chunked across a thread pool
+        — numpy releases the GIL), pass 2 is LAZY — columns are
+        offset-views into the one file buffer that decode a field only
+        when a row is actually read. Files containing double quotes fall
+        back to the stdlib csv state machine (the reference's
+        double_quotes mode)."""
+        with open(path, "rb") as f:
+            data = f.read()
+        if not data:
             return cls({}, 0)
-        if header:
-            names = rows[0]
-            rows = rows[1:]
+        if b'"' in data:
+            # quoted fields can hide delimiters/newlines: use the real
+            # state machine (rare for ML manifests, which is the hot path)
+            with open(path, newline="") as f:
+                rows = list(_csv.reader(f, delimiter=delim))
+            if not rows:
+                return cls({}, 0)
+            if header:
+                names, rows = rows[0], rows[1:]
+            else:
+                names = [str(i) for i in range(len(rows[0]))]
+            cols = {nm: [r[i] if i < len(r) else "" for r in rows]
+                    for i, nm in enumerate(names)}
+            return cls(cols, len(rows))
+
+        if not data.endswith(b"\n"):
+            data += b"\n"
+        arr = np.frombuffer(data, np.uint8)
+
+        # pass 1: structure. Chunked flatnonzero across threads (the
+        # reference's parallel first pass, dataframe_csv.c:531).
+        from concurrent.futures import ThreadPoolExecutor
+
+        nt = min(8, max(1, len(arr) // (1 << 20)))
+        bounds = np.linspace(0, len(arr), nt + 1).astype(np.int64)
+
+        def scan(i):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            seg = arr[lo:hi]
+            return (np.flatnonzero(seg == 0x0A) + lo,
+                    np.flatnonzero(seg == ord(delim)) + lo)
+
+        if nt > 1:
+            with ThreadPoolExecutor(nt) as ex:
+                parts = list(ex.map(scan, range(nt)))
+            nl = np.concatenate([p[0] for p in parts])
+            dl = np.concatenate([p[1] for p in parts])
         else:
-            names = [str(i) for i in range(len(rows[0]))]
-        cols = {nm: [r[i] if i < len(r) else "" for r in rows]
-                for i, nm in enumerate(names)}
-        return cls(cols, len(rows))
+            nl, dl = scan(0)
+
+        row_start = np.concatenate([[0], nl[:-1] + 1])
+        # \r\n: trim the trailing CR from the last field of each row
+        row_end = np.where((nl > 0) & (arr[np.maximum(nl - 1, 0)] == 0x0D),
+                           nl - 1, nl)
+        per_row = np.diff(np.searchsorted(dl, nl), prepend=0)
+        ncols = int(per_row[0]) + 1
+        if not (per_row == ncols - 1).all():
+            # ragged rows: fall back to the state machine
+            with open(path, newline="") as f:
+                rows = list(_csv.reader(f, delimiter=delim))
+            if header:
+                names, rows = rows[0], rows[1:]
+            else:
+                names = [str(i) for i in range(len(rows[0]))]
+            cols = {nm: [r[i] if i < len(r) else "" for r in rows]
+                    for i, nm in enumerate(names)}
+            return cls(cols, len(rows))
+
+        nrows = len(nl)
+        if ncols > 1:
+            dm = dl.reshape(nrows, ncols - 1)
+            starts = np.concatenate([row_start[:, None], dm + 1], axis=1)
+            ends = np.concatenate([dm, row_end[:, None]], axis=1)
+        else:
+            starts = row_start[:, None]
+            ends = row_end[:, None]
+
+        first = header
+        if header:
+            names = [data[int(s):int(e)].decode()
+                     for s, e in zip(starts[0], ends[0])]
+            starts, ends, nrows = starts[1:], ends[1:], nrows - 1
+        else:
+            names = [str(i) for i in range(ncols)]
+        cols = {nm: _CsvColumn(data, starts[:, j], ends[:, j])
+                for j, nm in enumerate(names)}
+        return cls(cols, nrows)
 
     # -- transforms ----------------------------------------------------------
     def map(self, name: str, fn: Callable, src: Sequence[str]) -> "Dataframe":
@@ -138,24 +247,49 @@ class Dataframe:
         return tuple(self._row(c, j) for c in columns)
 
     def batch(self, columns: Sequence[str], batch_size: int,
-              drop_remainder: bool = True):
-        """Yield batches as stacked numpy arrays (batching add-on)."""
+              drop_remainder: bool = True, num_threads: int = 0):
+        """Yield batches as stacked numpy arrays (batching add-on).
+
+        num_threads > 1 materializes the rows of each batch on a thread
+        pool — the analog of the reference's per-column stream contexts
+        (dataframe.c:110-189); image decode and numpy jitter release the
+        GIL, so IO-heavy derived columns overlap."""
         nb = self.n // batch_size if drop_remainder else -(-self.n // batch_size)
-        for b in range(nb):
-            rows = [self.row(b * batch_size + i, columns)
-                    for i in range(min(batch_size, self.n - b * batch_size))]
-            yield tuple(np.stack([r[c] for r in rows]) for c in range(len(columns)))
+        pool = None
+        if num_threads and num_threads > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(num_threads)
+        try:
+            for b in range(nb):
+                idxs = range(b * batch_size,
+                             b * batch_size
+                             + min(batch_size, self.n - b * batch_size))
+                if pool is not None:
+                    rows = list(pool.map(
+                        lambda i: self.row(i, columns), idxs))
+                else:
+                    rows = [self.row(i, columns) for i in idxs]
+                yield tuple(np.stack([r[c] for r in rows])
+                            for c in range(len(columns)))
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
 
     def iter(self, columns: Sequence[str], batch_size: int,
-             prefetch: int = 2, device_put: bool = True):
+             prefetch: int = 2, device_put: bool = True,
+             num_threads: int = 0):
         """Prefetching iterator (ccv_cnnp_dataframe_iter_prefetch twin):
-        a background thread prepares batches and stages them on device."""
+        a background thread prepares batches and stages them on device
+        (double-buffered: with prefetch >= 2 the next batch's host
+        assembly and async device_put overlap the current step)."""
         q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         stop = object()
 
         def producer():
             try:
-                for batch in self.batch(columns, batch_size):
+                for batch in self.batch(columns, batch_size,
+                                        num_threads=num_threads):
                     if device_put:
                         import jax
 

@@ -751,3 +751,23 @@ class Dynamic(Layer):
         assert self._inner is not None, "init() first"
         return self._inner.apply(params, state, x, training=training,
                                  key=key)
+
+
+def model_copy(model, is_trainable: bool = True):
+    """ccv_cnnp_model_copy twin (ccv_cnnp_model.c:599): clone the model
+    ARCHITECTURE, unbuilt — the reference copies the graph with
+    copy_weights=0, so the clone shares no parameters and re-initializes
+    on its own build()/compile()."""
+    import copy as _copy
+
+    if isinstance(model, Model):
+        inputs, outputs = _copy.deepcopy((model.inputs, model.outputs))
+        new = Model(inputs, outputs, name=model.name)
+    else:
+        from ccv_tpu.nn import model as _m
+
+        if not isinstance(model, _m.Sequential):
+            raise TypeError(f"cannot copy {type(model).__name__}")
+        new = _m.Sequential(_copy.deepcopy(model.layers), name=model.name)
+    new.is_trainable = is_trainable
+    return new

@@ -297,6 +297,18 @@ def Permute(perm: Sequence[int]):
                       lambda s: tuple(s[p] for p in perm), "permute")
 
 
+def Transpose(axis_a: int, axis_b: int):
+    """ccv_cnnp_transpose twin (ccv_nnc.h:4513): swap two axes."""
+
+    def shape(s):
+        t = list(s)
+        t[axis_a], t[axis_b] = t[axis_b], t[axis_a]
+        return tuple(t)
+
+    return _Stateless(lambda x: jnp.swapaxes(x, axis_a, axis_b), shape,
+                      "transpose")
+
+
 def Pad(begin, end, mode="zero"):
     return _Stateless(lambda x: ops.pad(x, begin, end, mode), name="pad")
 

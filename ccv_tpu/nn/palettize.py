@@ -134,3 +134,106 @@ def decode(data: bytes, datatype: int, shape, identifier: int) -> np.ndarray:
     nib = identifier & 0xFFFF
     n = int(np.prod(shape))
     return depalettize(data, datatype, n, qbits, nib).reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# On-device depalettize (reference: lib/nnc/cmd/compression/gpu/
+# ccv_nnc_depalettize.cu, mps/ccv_nnc_palettize.m) — the reference decodes
+# palettized checkpoints ON the accelerator at load so the host never
+# materializes the full weights. The TPU twin is one jitted XLA program:
+# bitcast the per-block palettes out of the byte stream, unpack the bit-
+# packed indices with static shifts (every index spans <= 2 bytes for
+# qbits <= 8), and gather per block.
+# ---------------------------------------------------------------------------
+
+_JDT = {}
+
+
+def _jnp_dtype(datatype: int):
+    import jax.numpy as jnp
+
+    return {0x20000: jnp.float16, 0x04000: jnp.float32}[datatype & 0xFF000]
+
+
+def depalettize_device(data, datatype: int, n_elements: int, qbits: int,
+                       number_in_blocks: int):
+    """ccv_nnc_depalettize on the TPU: `data` is the encoded byte stream
+    (bytes or uint8 array); returns a DEVICE jnp array of n_elements.
+
+    f64 streams fall back to the host decoder (no f64 on TPU)."""
+    import jax
+    import jax.numpy as jnp
+
+    if (datatype & 0xFF000) == 0x10000:  # 64F
+        return jnp.asarray(depalettize(bytes(data), datatype, n_elements,
+                                       qbits, number_in_blocks))
+    esize = _DT_SIZE[datatype & 0xFF000]
+    k = 1 << qbits
+    nib = number_in_blocks
+    if qbits == 4:
+        idx_bytes = nib // 2
+    elif qbits == 8:
+        idx_bytes = nib
+    else:
+        idx_bytes = nib // 8 * qbits
+    block_bytes = k * esize + idx_bytes
+    nblocks = -(-n_elements // nib)
+    raw = np.frombuffer(data, np.uint8) if isinstance(
+        data, (bytes, bytearray, memoryview)) else np.asarray(data, np.uint8)
+    pad = nblocks * block_bytes - len(raw)
+    if pad > 0:
+        raw = np.concatenate([raw, np.zeros(pad, np.uint8)])
+    fn = _get_depal_fn(datatype & 0xFF000, qbits, nib, nblocks, n_elements)
+    return fn(jnp.asarray(raw[:nblocks * block_bytes]))
+
+
+def _get_depal_fn(dtt: int, qbits: int, nib: int, nblocks: int, n: int):
+    import jax
+    import jax.numpy as jnp
+
+    key = (dtt, qbits, nib, nblocks, n)
+    fn = _JDT.get(key)
+    if fn is not None:
+        return fn
+    esize = _DT_SIZE[dtt]
+    k = 1 << qbits
+    jdt = _jnp_dtype(dtt)
+    if qbits == 4:
+        idx_bytes = nib // 2
+    elif qbits == 8:
+        idx_bytes = nib
+    else:
+        idx_bytes = nib // 8 * qbits
+    block_bytes = k * esize + idx_bytes
+
+    @jax.jit
+    def depal(raw):
+        blocks = raw.reshape(nblocks, block_bytes)
+        pal = jax.lax.bitcast_convert_type(
+            blocks[:, :k * esize].reshape(nblocks, k, esize), jdt)
+        packed = blocks[:, k * esize:].astype(jnp.int32)
+        if qbits == 8:
+            idx = packed
+        elif qbits == 4:
+            hi, lo = packed >> 4, packed & 0xF
+            idx = jnp.stack([hi, lo], axis=-1).reshape(nblocks, nib)
+        else:
+            # groups of `qbits` bytes hold 8 big-endian indices; index j
+            # spans bytes [j*qbits//8, +1] with one zero pad byte for the
+            # tail read
+            g = packed.reshape(nblocks, nib // 8, qbits)
+            g = jnp.concatenate(
+                [g, jnp.zeros((nblocks, nib // 8, 1), jnp.int32)], axis=-1)
+            mask = (1 << qbits) - 1
+            outs = []
+            for j in range(8):
+                off = j * qbits
+                b0, sh = off // 8, off % 8
+                v = ((g[..., b0] << 8) | g[..., b0 + 1])
+                outs.append((v >> (16 - qbits - sh)) & mask)
+            idx = jnp.stack(outs, axis=-1).reshape(nblocks, nib)
+        out = jnp.take_along_axis(pal, idx, axis=1)
+        return out.reshape(-1)[:n]
+
+    _JDT[key] = depal
+    return fn or depal

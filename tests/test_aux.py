@@ -72,6 +72,38 @@ class TestDataframe:
         assert len(out) == 2
         np.testing.assert_array_equal(np.concatenate(out), np.arange(8))
 
+    def test_csv_vectorized_paths(self, tmp_path):
+        # crlf + no-header + numeric column through the two-pass parser
+        p = tmp_path / "v.csv"
+        p.write_bytes(b"1,2.5,foo\r\n4,5.5,bar\r\n7,8.5,baz\r\n")
+        df = Dataframe.from_csv(str(p), header=False)
+        assert df.n == 3
+        assert df.row(2, ["0", "1", "2"]) == ("7", "8.5", "baz")
+        col = df._columns["1"]
+        np.testing.assert_allclose(col.numeric(), [2.5, 5.5, 8.5])
+        # quoted fields (delimiter inside quotes) -> state-machine path
+        q = tmp_path / "q.csv"
+        q.write_text('a,b\n"x,1",2\n"y",4\n')
+        dq = Dataframe.from_csv(str(q))
+        assert dq.n == 2 and dq.row(0, ["a", "b"]) == ("x,1", "2")
+        # ragged rows -> state-machine fallback
+        r = tmp_path / "r.csv"
+        r.write_text("a,b\n1\n2,3\n")
+        dr = Dataframe.from_csv(str(r))
+        assert dr.n == 2 and dr.row(0, ["a", "b"]) == ("1", "")
+        # missing trailing newline
+        t = tmp_path / "t.csv"
+        t.write_bytes(b"a,b\n1,2")
+        dt = Dataframe.from_csv(str(t))
+        assert dt.n == 1 and dt.row(0, ["a", "b"]) == ("1", "2")
+
+    def test_batch_thread_pool(self):
+        df = Dataframe.from_arrays(x=np.arange(32, dtype=np.float32))
+        df.map("x3", lambda v: v * 3, ["x"])
+        got = list(df.batch(["x3"], 8, num_threads=4))
+        np.testing.assert_array_equal(
+            np.concatenate([b[0] for b in got]), np.arange(32) * 3)
+
 
 class TestUtil:
     def test_slice_border(self):

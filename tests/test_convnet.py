@@ -8,6 +8,7 @@ import numpy as np
 DATA = os.path.join(os.path.dirname(__file__), "data")
 
 
+@pytest.mark.tpu
 def test_convnet_read_and_classify_parity():
     """Read a reference-written SQLite convnet, classify street.png, and
     match ccv_convnet_classify's top-10 ids + confidences."""

@@ -56,3 +56,33 @@ def test_encode_decodes_by_reference_layout(name):
     ref_err = np.abs(ref_out.astype(np.float64) - src.astype(np.float64))
     # same quantization quality as the reference encoder
     assert err.max() <= 2 * max(ref_err.max(), 1e-6)
+
+
+@pytest.mark.parametrize("name", ["palettize_f32_q4.bin",
+                                  "palettize_f32_q5.bin",
+                                  "palettize_f16_q8.bin"])
+def test_device_depalettize_matches_host(name):
+    """The on-device (XLA) depalettize must match the host decoder
+    bit-for-bit on reference-encoded bytes."""
+    from ccv_tpu.nn import palettize
+
+    datatype, qbits, nb, n, comp, ref_out = _load(name)
+    dev = np.asarray(palettize.depalettize_device(
+        bytes(comp), datatype, n, qbits, nb))
+    np.testing.assert_array_equal(dev.astype(ref_out.dtype), ref_out)
+
+
+@pytest.mark.tpu
+@pytest.mark.parametrize("name", ["palettize_f32_q4.bin",
+                                  "palettize_f16_q8.bin"])
+def test_device_depalettize_on_chip(name):
+    """Real-chip tier: reference-encoded bytes decode bit-exactly ON the
+    TPU (the gpu/ccv_nnc_depalettize.cu role)."""
+    from ccv_tpu.nn import palettize
+
+    datatype, qbits, nb, n, comp, ref_out = _load(name)
+    # under --tpu the session default backend IS the chip, so the decode
+    # program runs there; under the CPU CI tier this is the same equality
+    out = palettize.depalettize_device(bytes(comp), datatype, n, qbits, nb)
+    np.testing.assert_array_equal(
+        np.asarray(out).astype(ref_out.dtype), ref_out)
