@@ -232,11 +232,20 @@ def _tree_contrib(g, phase):
     return _decide_fval(fval, phase)
 
 
+def _prefix_sums(contrib):
+    """Inclusive prefix sums over the tree axis. jnp.cumsum lowers to a
+    quadratic reduce-window on TPU ((nwin, 960) block -> ~2 GB of HBM
+    traffic per level); the log-depth scan is ~10 passes over the array.
+    Reordered f32 addition shifts sums by ~1e-5 — the window-parity
+    gates' 0.05 conf tolerance absorbs it."""
+    return jax.lax.associative_scan(jnp.add, contrib, axis=-1)
+
+
 def _phase_pass(g, phase, prior):
     """Soft-cascade block: returns (alive, csum_last) given the running sum
     `prior` ((n,) or scalar 0) entering this block."""
     contrib = _tree_contrib(g, phase)
-    csum = jnp.cumsum(contrib, axis=-1) + prior[..., None]
+    csum = _prefix_sums(contrib) + prior[..., None]
     alive = jnp.all(csum >= jnp.asarray(phase["thresholds"]), axis=-1)
     return alive, csum[:, -1]
 
@@ -244,7 +253,7 @@ def _phase_pass(g, phase, prior):
 def _phase_pass_fval(fval, phase, prior):
     """_phase_pass from already-computed node values (matmul path)."""
     contrib = _decide_fval(fval, phase)
-    csum = jnp.cumsum(contrib, axis=-1) + prior[..., None]
+    csum = _prefix_sums(contrib) + prior[..., None]
     alive = jnp.all(csum >= jnp.asarray(phase["thresholds"]), axis=-1)
     return alive, csum[:, -1]
 
@@ -380,6 +389,19 @@ def _use_fused() -> bool:
     return jax.default_backend() != "cpu"
 
 
+ICF_FORM = os.environ.get("ICF_FORM", "")  # "slices"/"matmul" force; ""=auto
+
+
+def _use_slices() -> bool:
+    """Slices octave form (exact f32 corner gathers, zero matmuls) vs the
+    round-3 im2col-matmul form. Slices is the default everywhere the fused
+    path runs: it does ~the reference's FLOP count instead of a dense
+    product against a 99.98%-sparse corner matrix."""
+    if ICF_FORM in ("slices", "matmul"):
+        return ICF_FORM == "slices"
+    return True
+
+
 def _fused_mats(c: IcfCascade, step: int):
     """Sparse corner-matrix triplets + decision tables, cached per step."""
     cache = getattr(c, "_fused", None)
@@ -455,9 +477,13 @@ def _fused_dev_mats(c: IcfCascade, step: int, dtype):
     return dev
 
 
-def _icf_im2col(sat, ny: int, nx: int, step: int, th: int, tw: int):
+def _icf_im2col(sat, ny: int, nx: int, step: int, th: int, tw: int,
+                center: bool = True):
     """Per-window tile matrix D (ny*nx, step^2*th*tw*C) from the SAT with
-    unit-stride slices only, centered on each window's (0,0) corner."""
+    unit-stride slices only; `center` subtracts each window's (0,0)
+    corner (required for the bf16 matmul form, skipped on the exact
+    takes form — box sums through centered operands are only exact when
+    the corner matrix does the cancelling)."""
     C = sat.shape[2]
     Hp, Wp = (ny + th) * step, (nx + tw) * step
     s = jnp.pad(sat, ((0, max(0, Hp - sat.shape[0])),
@@ -476,8 +502,274 @@ def _icf_im2col(sat, ny: int, nx: int, step: int, th: int, tw: int):
                  for ox2 in range(tw)], axis=3)        # (ny, th, nx, tw, C)
             outs.append(tiles.transpose(0, 2, 1, 3, 4))
     D = jnp.stack(outs, axis=2)                        # (ny, nx, p2, th, tw, C)
-    D = D - D[:, :, :1, :1, :1, :]
+    if center:
+        D = D - D[:, :, :1, :1, :1, :]
     return D.reshape(ny * nx, step * step * th * tw * C)
+
+
+# ---------------------------------------------------------------------------
+# takes whole-octave path (round 4): exact f32 corner row-takes
+# ---------------------------------------------------------------------------
+#
+# Both earlier fused forms pay for the corner matrix being 99.98% sparse:
+# the round-3 matmul form multiplies the im2col matrix D (ntot, 34200)
+# against dense corner matrices in 6-pass HIGHEST precision (~1.6 TFLOP,
+# 555 MB D + a 680 MB tail matrix resident), and a strided-conv variant
+# lowered a dense (89, 38, 10, 192) stencil (137 GFLOP, 68 ms measured).
+# But each tree node is just ~8 signed SAT corner reads (ccv_icf.c:407),
+# so the right shape is a GATHER, not a contraction — and on TPU the one
+# gather pattern that streams is an axis-0 row take of a 2-D array
+# (everything else — vmapped dynamic_slice, minor-axis takes — lowers to
+# a serial while loop; measured 90 ms for the phase-plane corner-slice
+# variant of this same math).  So: build D with the static-slice im2col
+# (unit-stride slices, no centering), transpose once, and read the ~8
+# corners of every tree node as row takes of Dt — box = c0 - c1 - c2 + c3
+# then * alpha, the reference\'s exact f32 order.  Zero matmuls, zero
+# HIGHEST passes, ~reference FLOP count on the VPU.
+
+_ICF_DENSE_TREES = 320  # trees evaluated densely on every window
+
+
+def _phase_dict(c: IcfCascade, lo: int, hi: int):
+    """Decision tables for trees [lo:hi) (shared by every staged form)."""
+    return dict(
+        beta=c.beta[lo:hi].astype(np.float32),
+        has1=(c.pass_bits[lo:hi] & 2).astype(bool),
+        has2=(c.pass_bits[lo:hi] & 1).astype(bool),
+        w0=np.ascontiguousarray(c.weigh[lo:hi, 0].astype(np.float32)),
+        w1=np.ascontiguousarray(c.weigh[lo:hi, 1].astype(np.float32)),
+        thresholds=c.thresholds[lo:hi].astype(np.float32))
+
+
+def _corner_slots(c: IcfCascade, lo: int, hi: int):
+    """(raw (F3, 8, 3) [oy, ox, ch] corner triples in box-major slot
+    order, alpha (F3, 2) per-box weights) for trees [lo:hi). Keeping
+    alpha per box (box corners sum first, THEN scale) reproduces the
+    reference\'s / staged path\'s f32 summation order bit-for-bit
+    (_ccv_icf_run_feature, ccv_icf.c:388-405)."""
+    F3 = (hi - lo) * 3
+    raw = np.zeros((F3, 8, 3), np.int32)
+    alpha = np.zeros((F3, 2), np.float32)
+    for t in range(lo, hi):
+        for f in range(3):
+            fi = (t - lo) * 3 + f
+            for b in range(2):
+                a = float(c.alpha[t, f, b])
+                alpha[fi, b] = a
+                if a == 0.0:
+                    continue
+                ch = int(c.channel[t, f, b])
+                x0 = int(c.sat0[t, f, b, 0])
+                y0 = int(c.sat0[t, f, b, 1])
+                x1 = int(c.sat1[t, f, b, 0]) + 1
+                y1 = int(c.sat1[t, f, b, 1]) + 1
+                for k, (oy, ox) in enumerate(((y0, x0), (y0, x1),
+                                              (y1, x0), (y1, x1))):
+                    raw[fi, b * 4 + k] = (oy, ox, ch)
+    return raw, alpha
+
+
+def _takes_tabs(c: IcfCascade, step: int):
+    """Tables for the takes form, cached per (cascade, step).
+
+    Dense block: each corner slot (oy, ox, ch) is encoded as (A, B) with
+    A = ((g*QY + oy//step)*nch + ch), B = ox//step, g = the phase group
+    (oy%step)*step + ox%step — the device computes row index A*Wq + B + wx
+    into the per-level vertical-shift matrix (see octave()). Tail: slots
+    linearized into the raw survivor-tile layout (oy*KW + ox)*nch + ch."""
+    cache = getattr(c, "_takestabs", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(c, "_takestabs", cache)
+    if step in cache:
+        return cache[step]
+    nch = 8 if c.grayscale else 10
+    KH, KW = c.height + 1, c.width + 1
+    QY = (KH - 1) // step + 1
+    QX = (KW - 1) // step + 1
+    b1 = min(_ICF_DENSE_TREES, c.n_weak)
+
+    raw, alpha = _corner_slots(c, 0, b1)
+    oy, ox, ch = raw[..., 0], raw[..., 1], raw[..., 2]
+    g = (oy % step) * step + ox % step
+    A = ((g * QY + oy // step) * nch + ch).astype(np.int32)
+    B = (ox // step).astype(np.int32)
+    tail = None
+    if c.n_weak > b1:
+        traw, talpha = _corner_slots(c, b1, c.n_weak)
+        ttrip = ((traw[..., 0] * KW + traw[..., 1]) * nch
+                 + traw[..., 2]).astype(np.int32)
+        tail = dict(trip=ttrip, alpha=talpha,
+                    ph=_phase_dict(c, b1, c.n_weak))
+    tabs = dict(
+        nch=nch, KH=KH, KW=KW, QY=QY, QX=QX, b1=b1,
+        A=A, B=B, alpha=alpha, ph=_phase_dict(c, 0, b1), tail=tail)
+    cache[step] = tabs
+    return tabs
+
+
+def _icf_slice_caps(ntot: int, n_weak: int):
+    """(ntot, K3): K3 bounds survivors of the dense block (post-320
+    survival measured at 0.02% on pedestrian.png). Overflow (counts ride
+    back with the rows) falls back to the per-level staged path on the
+    host, so a miss costs latency, not correctness."""
+    if n_weak <= _ICF_DENSE_TREES:
+        return (ntot, ntot)
+    K3 = int(min(ntot, max(64, -(-ntot // 64 // 64) * 64)))
+    return (ntot, K3)
+
+
+_ICF_SLICE_CACHE: dict = {}
+
+
+def _get_icf_octave_slice_fn(casc: IcfCascade, src_shape, lvls, step: int,
+                             caps):
+    """ONE jitted program per octave, takes form: resample -> channels ->
+    SAT -> vertical-shift matrix -> dense tree block as ONE corner
+    row-gather -> top-K3 survivor tiles -> tail block as row-takes of the
+    survivor-tile transpose.  lvls: ((rows, cols, is_base, ny, nx), ...);
+    returns (rows (K, 3) [global idx, passed, conf], counts (2,))."""
+    key = (id(casc), src_shape, lvls, step, caps)
+    fn = _ICF_SLICE_CACHE.get(key)
+    if fn is not None:
+        return fn
+    ml, mt, mr, mb = casc.margin
+    gray = bool(casc.grayscale)
+    tabs = _takes_tabs(casc, step)
+    nch, KH, KW = tabs["nch"], tabs["KH"], tabs["KW"]
+    QY, QX = tabs["QY"], tabs["QX"]
+    ph, tail = tabs["ph"], tabs["tail"]
+    b1 = tabs["b1"]
+    K3 = caps[-1]
+    ntot = sum(ny * nx for (_, _, _, ny, nx) in lvls)
+    bounds = np.cumsum([0] + [ny * nx for (_, _, _, ny, nx) in lvls])
+    nxs = np.asarray([nx for (_, _, _, _, nx) in lvls], np.int32)
+    Hs = [(ny - 1) * step + KH for (_, _, _, ny, _) in lvls]
+    Ws = [(nx - 1) * step + KW for (_, _, _, _, nx) in lvls]
+    Hmax, Wmax = max(Hs), max(Ws)
+
+    def fval_from_boxes(g, alpha, F3, n, beta):
+        """g (F3*8, n) box-major corner reads -> fval (n, F3/3, 3): box =
+        c0 - c1 - c2 + c3 summed FIRST, then scaled by its alpha — the
+        reference's f32 order (_ccv_icf_run_feature, ccv_icf.c:388)."""
+        g = g.reshape(F3, 2, 4, n)
+        box = ((g[:, :, 0] - g[:, :, 1]) - g[:, :, 2]) + g[:, :, 3]
+        fv = jnp.sum(box * alpha[:, :, None], axis=1)    # (F3, n)
+        return fv.T.reshape(n, F3 // 3, 3) + jnp.asarray(beta)
+
+    def dense_block(sat, ny, nx, A, B, alpha):
+        # vertical-shift matrix Ball: row ((g*QY + qy)*nch + ch)*Wq + qxw
+        # holds sat[(py + (qy + wy)*step), (px + qxw*step), ch] over wy —
+        # built as ONE strided slice per (phase group, qy) off a single
+        # small transpose of the SAT (the stack+transpose chain this
+        # replaces unfused into ~6 ms of sub-lane relayouts)
+        Hq, Wq = QY + ny, QX + nx
+        s = jnp.pad(sat, ((0, max(0, Hq * step - sat.shape[0])),
+                          (0, max(0, Wq * step - sat.shape[1])),
+                          (0, 0)))[:Hq * step, :Wq * step]
+        sT = s.transpose(2, 1, 0)            # (nch, Wq*step, Hq*step)
+        rows = [
+            jax.lax.slice(
+                sT, (0, px, py + qy * step),
+                (nch, px + (Wq - 1) * step + 1,
+                 py + (qy + ny - 1) * step + 1),
+                (1, step, step))             # (nch, Wq, ny)
+            for py in range(step) for px in range(step)
+            for qy in range(QY)
+        ]
+        Ball = jnp.stack(rows, 0).reshape(-1, ny)
+        # one row-gather: slot (A, B) + window col wx -> row A*Wq + B + wx
+        # (axis-0 row takes are the ONE gather pattern that streams on TPU;
+        # vmapped dynamic_slice lowers to a serial while loop)
+        base = A.reshape(-1) * Wq + B.reshape(-1)
+        R = base[:, None] + jnp.arange(nx, dtype=jnp.int32)[None, :]
+        G = jnp.take(Ball, R.reshape(-1), axis=0)        # (F3*8*nx, ny)
+        # box math BEFORE the window transpose: 8x less data to relayout
+        g = G.reshape(b1 * 3, 2, 4, nx, ny)
+        box = ((g[:, :, 0] - g[:, :, 1]) - g[:, :, 2]) + g[:, :, 3]
+        fv = jnp.sum(box * alpha[:, :, None, None], axis=1)  # (F3, nx, ny)
+        fval = (fv.transpose(2, 1, 0).reshape(ny * nx, b1, 3)
+                + jnp.asarray(ph["beta"]))
+        return _phase_pass_fval(
+            fval, ph, jnp.zeros((ny * nx,), jnp.float32))
+
+    def octave(src, A, B, alpha, ttrip, talpha):
+        alive_l, conf_l, sats = [], [], []
+        for (rows, cols, is_base, ny, nx), Hn, Wn in zip(lvls, Hs, Ws):
+            image = src if is_base else resample.resample(
+                src, rows=rows, cols=cols, rows_scale=rows / src.shape[0],
+                cols_scale=cols / src.shape[1], interp=resample.INTER_AREA)
+            if gray and image.shape[-1] == 3:
+                image = _gray_u8_graph(image)[..., None]
+            image = jnp.pad(image, [(mt, mb), (ml, mr), (0, 0)])
+            chans = icf_channels(image[..., 0] if gray else image)
+            sat = algebra.sat_auto(chans, padding=algebra.PADDING_ZERO)
+            sat = sat.astype(jnp.float32)
+            alive, conf = dense_block(sat, ny, nx, A, B, alpha)
+            alive_l.append(alive)
+            conf_l.append(conf)
+            if tail is not None:
+                sp = jnp.pad(sat, ((0, max(0, Hn - sat.shape[0])),
+                                   (0, max(0, Wn - sat.shape[1])),
+                                   (0, 0)))[:Hn, :Wn]
+                sats.append(jnp.pad(sp, ((0, Hmax - Hn), (0, Wmax - Wn),
+                                         (0, 0))))
+        alive = jnp.concatenate(alive_l) if len(alive_l) > 1 else alive_l[0]
+        conf = jnp.concatenate(conf_l) if len(conf_l) > 1 else conf_l[0]
+        count = jnp.sum(alive, dtype=jnp.int32)
+        zero = jnp.zeros((), jnp.int32)
+        if tail is None:
+            rows_out = jnp.stack(
+                [jnp.arange(ntot, dtype=jnp.float32),
+                 alive.astype(jnp.float32), conf], axis=1)
+            return rows_out, jnp.stack([zero, count])
+
+        stack = jnp.stack(sats)                     # (L, Hmax, Wmax, nch)
+        jb = jnp.asarray(bounds[:-1], jnp.int32)
+        score = jnp.where(alive, conf, -jnp.inf)
+        _, sidx = jax.lax.top_k(score, K3)
+        sidx = sidx.astype(jnp.int32)
+        valid = jnp.take(alive, sidx)
+        lvl = (jnp.searchsorted(jnp.asarray(bounds[1:], jnp.int32),
+                                sidx, side="right")
+               .astype(jnp.int32).clip(0, len(lvls) - 1))
+        loc = sidx - jnp.take(jb, lvl)
+        nx_l = jnp.take(jnp.asarray(nxs), lvl)
+        wy, wx = loc // nx_l, loc % nx_l
+
+        def tile_of(l, y, x):
+            return jax.lax.dynamic_slice(
+                stack, (l, y * step, x * step, 0), (1, KH, KW, nch))[0]
+
+        D3 = jax.vmap(tile_of)(lvl, wy, wx).reshape(K3, KH * KW * nch)
+        # tail corners as row-takes of the transposed tile: each take is a
+        # contiguous K3-float row, so the gather streams (vs ~6 GB/s for
+        # minor-axis element gathers)
+        g2 = jnp.take(D3.T, ttrip.reshape(-1), axis=0)  # (F3t*8, K3)
+        F3t = ttrip.shape[0]
+        fv2 = fval_from_boxes(g2, talpha, F3t, K3, tail["ph"]["beta"])
+        alive2, conf2 = _phase_pass_fval(fv2, tail["ph"],
+                                         jnp.take(conf, sidx))
+        passed = alive2 & valid
+        rows_out = jnp.stack([sidx.astype(jnp.float32),
+                              passed.astype(jnp.float32), conf2], axis=1)
+        return rows_out, jnp.stack([zero, count])
+
+    jitted = jax.jit(octave)
+    dev = {}
+
+    def fn(src):
+        if "args" not in dev:
+            dev["args"] = (jnp.asarray(tabs["A"]), jnp.asarray(tabs["B"]),
+                           jnp.asarray(tabs["alpha"]),
+                           jnp.asarray(tail["trip"]) if tail is not None
+                           else jnp.zeros((3, 8), jnp.int32),
+                           jnp.asarray(tail["alpha"]) if tail is not None
+                           else jnp.zeros((3, 2), jnp.float32))
+        return jitted(src, *dev["args"])
+
+    _ICF_SLICE_CACHE[key] = fn
+    return fn
 
 
 _ICF_OCTAVE_CACHE: dict = {}
@@ -683,16 +975,21 @@ def detect_async(a, cascades, params: Optional[IcfParams] = None):
                 continue
             if fused:
                 ntot = sum(ny * nx for (_, _, _, _, ny, nx) in lvls)
-                K2 = (ntot if casc.n_weak <= _ICF_FUSED_CUT
-                      else min(ntot, max(64, ntot // 256)))
-                fn = _get_icf_octave_fn(
-                    casc, tuple(level.shape),
-                    tuple((rows, cols, k == 0, ny, nx)
-                          for (k, _, rows, cols, ny, nx) in lvls),
-                    step, K2)
+                lshapes = tuple((rows, cols, k == 0, ny, nx)
+                                for (k, _, rows, cols, ny, nx) in lvls)
+                if _use_slices():
+                    caps = _icf_slice_caps(ntot, casc.n_weak)
+                    fn = _get_icf_octave_slice_fn(
+                        casc, tuple(level.shape), lshapes, step, caps)
+                else:
+                    K2 = (ntot if casc.n_weak <= _ICF_FUSED_CUT
+                          else min(ntot, max(64, ntot // 256)))
+                    caps = (K2,)
+                    fn = _get_icf_octave_fn(
+                        casc, tuple(level.shape), lshapes, step, K2)
                 rows_out, counts = fn(level)
                 pieces.append((rows_out, counts))
-                specs.append(("fused", ci, octave, tuple(lvls), K2, ntot))
+                specs.append(("fused", ci, octave, tuple(lvls), caps, ntot))
                 continue
             for (k, scale, rows, cols, ny, nx) in lvls:
                 K1 = _icf_capacity1(ny * nx)
@@ -742,7 +1039,10 @@ def detect_collect(handle) -> List[Comp]:
         lens = []
         for spec in specs:
             if spec[0] == "fused":
-                lens.append(spec[4])
+                caps = spec[4]
+                # rows emitted by the octave program: the LAST compaction
+                # capacity, or ntot when the cascade never compacts
+                lens.append(min(caps[-1], spec[5]))
                 continue
             (_, ci, octave, k, scale, rows, cols, ny, nx, K1, K2) = spec
             tabs = _staged_tables(cascades[ci])
@@ -760,9 +1060,10 @@ def detect_collect(handle) -> List[Comp]:
             passed = rows_out[:, 1] != 0.0
             conf = rows_out[:, 2]
             if spec[0] == "fused":
-                (_, ci, octave, lvls, K2, ntot) = spec
+                (_, ci, octave, lvls, caps, ntot) = spec
                 casc = cascades[ci]
-                if int(counts[li][0]) > K2:
+                if (int(counts[li][0]) > caps[0]
+                        or int(counts[li][1]) > caps[-1]):
                     # octave-wide compaction overflow: rerun each level at
                     # full capacity through the reference staged path
                     for (k, scale, rows, cols, ny, nx) in lvls:

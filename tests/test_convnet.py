@@ -4,6 +4,7 @@ from conftest import reference_path
 import os
 
 import numpy as np
+import pytest
 
 DATA = os.path.join(os.path.dirname(__file__), "data")
 

@@ -33,6 +33,7 @@ def book_result():
 
 @requires_reference
 @pytest.mark.slow
+@pytest.mark.tpu
 def test_sift_keypoints_match_reference(book_result):
     kps, desc = book_result
     ref = np.loadtxt(os.path.join(DATA, "book.sift.txt"))
@@ -50,6 +51,7 @@ def test_sift_keypoints_match_reference(book_result):
 
 @requires_reference
 @pytest.mark.slow
+@pytest.mark.tpu
 def test_sift_angles_match_reference(book_result):
     # guards the fixed-grid orientation rewrite: every reference keypoint
     # must have a same-position keypoint of OURS whose angle agrees
