@@ -18,18 +18,25 @@ XLA sort). Overlap resolution is max-width-wins (the reference processes
 strokes in ascending width order sequentially — equivalent except for
 rare read-after-write chains; fidelity is gated at detection level).
 
-Connected components run on the host (scipy union-find, overlapped with
-device compute of the next image via `detect_words_async`); letter
-statistics / textline pairing / word breakdown are small-n host math
-(numpy), mirroring _ccv_swt_connected_letters / _merge_textline /
-_break_words (ccv_swt.c:305/:499/:557). A device min-label-propagation
-labeling (`_connected_components`) is kept for fully-on-device uses.
+On accelerators the letter stage runs ON DEVICE (`_letters_device`):
+stroke pixels compact into lanes, connected components run as min-label
+propagation + pointer jumping over a precomputed 8-neighbor lane table,
+per-component statistics are row scatter-adds keyed by label, the scalar
+letter filters and a histogram rank-select for the thickness median run
+per component row, and the occlusion pre-count is a direct
+pixel-in-kept-bbox test — so only ~26 KB of letter rows cross the device
+link instead of the (3, H, W) planes. Textline pairing / word breakdown
+stay small-n host math (numpy), mirroring _ccv_swt_connected_letters /
+_merge_textline / _break_words (ccv_swt.c:305/:499/:557). The host
+letter path (`_cc_host` native C++ union-find + vectorized numpy stats)
+remains the CPU-backend route and the table-overflow fallback.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from functools import partial
 from typing import List, Optional, Tuple
 
@@ -127,6 +134,31 @@ def _m_bucket(total: int, n_rays: int, T: int) -> int:
     return min(want, cap)
 
 
+_LANES = 128
+
+
+def _chunked(m2d):
+    """Pad a 2-D map to a whole number of 128-lane chunks and reshape to
+    (rows*chunks, 128) so point lookups become ROW gathers: on TPU an
+    axis-0 row take streams at HBM rate while an element gather costs
+    ~8 ns per index regardless of payload (measured: 2.6 M element probes
+    20.6 ms; 147 k x 128-lane row reads unmeasurably fast)."""
+    Hm, Wm = m2d.shape
+    nc = -(-Wm // _LANES)
+    mp = jnp.pad(m2d, ((0, 0), (0, nc * _LANES - Wm)))
+    return mp.reshape(Hm * nc, _LANES), nc
+
+
+def _cgather(mc, nc, ys, xs):
+    """mc: _chunked map; read m2d[ys, xs] for index arrays of any shape
+    via one row gather + an in-register lane select."""
+    pos = ys * (nc * _LANES) + xs
+    rows = jnp.take(mc, (pos // _LANES).reshape(-1), axis=0)
+    lane = (pos % _LANES).reshape(-1)
+    sel = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1) == lane[:, None]
+    return jnp.where(sel, rows, 0).sum(axis=1).reshape(pos.shape)
+
+
 @partial(jax.jit, static_argnames=("n_rays", "T", "m_slots"))
 def _swt_rays_both(c: jax.Array, dx: jax.Array, dy: jax.Array, n_rays: int,
                    T: int = MAX_RAY, m_slots: Optional[int] = None,
@@ -140,6 +172,12 @@ def _swt_rays_both(c: jax.Array, dx: jax.Array, dy: jax.Array, n_rays: int,
     they fit u8), stats int32[3] = [unresolved rays, longest hit,
     live path cells]) — the stats drive the T / lane / slot rebucketing
     in detect_words, which re-runs bigger on any overflow.
+
+    Every point lookup (hit probes, the 5-cross refine, the 9-point
+    gradient opposition, the median's path reads) goes through _cgather
+    (row gather + lane select) and every per-ray parameter read on the
+    path slots goes through ONE row gather of a packed parameter table —
+    element gathers at these index counts were 40+ ms of the program.
     """
     H, W = c.shape
     N = n_rays
@@ -148,22 +186,26 @@ def _swt_rays_both(c: jax.Array, dx: jax.Array, dy: jax.Array, n_rays: int,
     cb = c != 0
     dxf = dx.astype(jnp.int32)
     dyf = dy.astype(jnp.int32)
-    cflat = jnp.pad(cb, 1).reshape(-1)           # (H+2)(W+2), +1 offset
-    dxp_flat = jnp.pad(dxf, 1).reshape(-1)
-    dyp_flat = jnp.pad(dyf, 1).reshape(-1)
 
     def shift(arr, di, dj):
         return jnp.pad(arr, 1)[1 + di:1 + di + H, 1 + dj:1 + dj + W]
 
     # cross-dilated edge map: dil[y, x] == any of the 5-probe at (x, y),
-    # so hit testing needs one gather instead of five (ccv_swt.c:71-74)
+    # so hit testing needs one probe instead of five (ccv_swt.c:71-74)
     dil = cb | shift(cb, 0, 1) | shift(cb, 0, -1) \
         | shift(cb, 1, 0) | shift(cb, -1, 0)
-    dflat = jnp.pad(dil, 1).reshape(-1).astype(jnp.uint8)
+    dil_c, dil_nc = _chunked(jnp.pad(dil, 1).astype(jnp.int32))
+    c_c, c_nc = _chunked(jnp.pad(cb, 1).astype(jnp.int32))
+    # gradients packed into one word so the 9-point opposition check is
+    # one probe per point: word = (dx+4096)*8192 + (dy+4096), |sobel| < 4096
+    gpack = (jnp.pad(dxf, 1) + 4096) * 8192 + (jnp.pad(dyf, 1) + 4096)
+    g_c, g_nc = _chunked(gpack)
 
-    def pidx(ys, xs):
-        return ((ys + 1).clip(0, H + 1) * (W + 2)
-                + (xs + 1).clip(0, W + 1))
+    def py1(ys):
+        return (ys + 1).clip(0, H + 1)
+
+    def px1(xs):
+        return (xs + 1).clip(0, W + 1)
 
     # -- compact edge pixels into ray lanes --------------------------------
     flat_edge = cb.reshape(-1)
@@ -203,25 +245,31 @@ def _swt_rays_both(c: jax.Array, dx: jax.Array, dy: jax.Array, n_rays: int,
     xs = ox[None, None] + sx[None] * jnp.where(xmaj[None], stepmaj, stepmin)
     ys = oy[None, None] + sy[None] * jnp.where(xmaj[None], stepmin, stepmaj)
 
-    # -- hit detection: one gather over the dilated map --------------------
+    # -- hit detection: chunked probes of the dilated map -------------------
     inb = (xs >= 1) & (xs < W - 1) & (ys >= 1) & (ys < H - 1)
-    alive = jnp.cumsum((~inb).astype(jnp.int32), axis=0) == 0
+    # associative_scan, NOT jnp.cumsum: cumsum/cummax lower to quadratic
+    # reduce-windows on TPU
+    alive = jax.lax.associative_scan(
+        jnp.add, (~inb).astype(jnp.int32), axis=0) == 0
     far = (jnp.abs(ys - oy[None, None]) >= 2) \
         | (jnp.abs(xs - ox[None, None]) >= 2)
-    found = dflat[pidx(ys, xs)] != 0
+    found = _cgather(dil_c, dil_nc, py1(ys), px1(xs)) != 0
     cand = alive & far & found
     hit = cand.any(0)
     s_hit = jnp.argmax(cand, axis=0)              # first True
     hn = jnp.where(hit, s_hit + 1, 0)             # increments to the hit
-    hx0 = jnp.take_along_axis(xs, s_hit[None], 0)[0]
-    hy0 = jnp.take_along_axis(ys, s_hit[None], 0)[0]
+    # one-hot selects along T (take_along_axis is an element gather)
+    t_sel = jax.lax.broadcasted_iota(jnp.int32, (T, F, N), 0)
+    sel_hit = t_sel == s_hit[None]
+    hx0 = jnp.sum(jnp.where(sel_hit, xs, 0), axis=0)
+    hy0 = jnp.sum(jnp.where(sel_hit, ys, 0), axis=0)
     # refine to the first-matching probe of the 5-cross (order of _DX5)
     kx, ky = hx0, hy0
     fnd = jnp.zeros((F, N), bool)
     for k in range(5):
         nx = hx0 + int(_DX5[k])
         ny = hy0 + int(_DY5[k])
-        val = cflat[pidx(ny, nx)]
+        val = _cgather(c_c, c_nc, py1(ny), px1(nx)) != 0
         sel = val & ~fnd
         kx = jnp.where(sel, nx, kx)
         ky = jnp.where(sel, ny, ky)
@@ -229,16 +277,18 @@ def _swt_rays_both(c: jax.Array, dx: jax.Array, dy: jax.Array, n_rays: int,
     # ray stop position: first hit or out-of-bounds step, else last
     stop = (~inb) | cand
     s_stop = jnp.where(stop.any(0), jnp.argmax(stop, axis=0), T - 1)
-    x1 = jnp.take_along_axis(xs, s_stop[None], 0)[0]
-    y1 = jnp.take_along_axis(ys, s_stop[None], 0)[0]
+    sel_stop = t_sel == s_stop[None]
+    x1 = jnp.sum(jnp.where(sel_stop, xs, 0), axis=0)
+    y1 = jnp.sum(jnp.where(sel_stop, ys, 0), axis=0)
 
     # -- gradient opposition at the hit (ccv_swt.c:137-155) ----------------
     ok = hit & (kx > 0) & (kx < W - 1) & (ky > 0) & (ky < H - 1)
     opp = jnp.zeros((F, N), bool)
     for k in range(9):
-        qi = pidx(ky + int(_DY9[k]), kx + int(_DX9[k]))
-        gx = dxp_flat[qi]
-        gy = dyp_flat[qi]
+        qw = _cgather(g_c, g_nc, py1(ky + int(_DY9[k])),
+                      px1(kx + int(_DX9[k])))
+        gx = qw // 8192 - 4096
+        gy = qw % 8192 - 4096
         tn = gdy[None] * gx - gdx[None] * gy
         td = gdx[None] * gx + gdy[None] * gy
         opp = opp | ((tn * 7 < -td * 4) & (tn * 7 > td * 4))
@@ -257,13 +307,13 @@ def _swt_rays_both(c: jax.Array, dx: jax.Array, dy: jax.Array, n_rays: int,
     # -- compact path slots: per-ray contiguous ranges ---------------------
     # Only ~(edge count x mean stroke width) path cells carry scatter
     # updates. Each valid ray owns a contiguous slot range [start, start +
-    # hn]; a slot recovers its ray by binary search into the monotone
-    # starts and its position by the closed form — so the compaction needs
-    # no dense-mask nonzero (which lowers to a multi-ms scatter on TPU).
+    # hn]; a slot recovers its ray by stamp + scan-max into the monotone
+    # starts — so the compaction needs no dense-mask nonzero (which lowers
+    # to a multi-ms scatter on TPU).
     FN = F * N
     pol = (jnp.arange(F, dtype=jnp.int32) // 3)[None, :, None]
     npath = jnp.where(valid, hn + 1, 0).astype(jnp.int32).reshape(-1)
-    starts = jnp.cumsum(npath) - npath              # exclusive prefix sum
+    starts = jax.lax.associative_scan(jnp.add, npath) - npath  # exclusive
     total = starts[-1] + npath[-1]
     M = min((T + 1) * FN, 24 * N)                   # overflow drops strokes
     if m_slots is not None:
@@ -271,55 +321,78 @@ def _swt_rays_both(c: jax.Array, dx: jax.Array, dy: jax.Array, n_rays: int,
     m = jnp.arange(M, dtype=jnp.int32)
     # slot -> ray: every valid ray stamps (id+1) at its start slot (starts
     # are strictly increasing over valid rays, so indices are unique) and
-    # a cummax propagates ownership — O(log) depth, no binary search
+    # a scan-max propagates ownership — O(log) depth, no binary search
     ray_ids = jnp.arange(FN, dtype=jnp.int32)
     stamp = jnp.zeros((M + 1,), jnp.int32).at[
         jnp.where((npath > 0) & (starts < M), starts, M)].max(ray_ids + 1)
-    r = (jax.lax.cummax(stamp[:M]) - 1).clip(0, FN - 1)
-    tslot = (m - starts[r]).clip(0, T)
+    r = (jax.lax.associative_scan(jnp.maximum, stamp[:M]) - 1).clip(
+        0, FN - 1)
+    # per-slot ray parameters: ONE row gather of a packed table (vs eight
+    # element gathers of (M,) each)
+    oxf = jnp.broadcast_to(ox[None], (F, N)).reshape(-1)
+    oyf = jnp.broadcast_to(oy[None], (F, N)).reshape(-1)
+    P = jnp.stack([maj.reshape(-1), mnr.reshape(-1), sx.reshape(-1),
+                   sy.reshape(-1), xmaj.reshape(-1).astype(jnp.int32),
+                   w.reshape(-1), starts, oxf, oyf, npath,
+                   (hn // 2).reshape(-1)], axis=1)            # (FN, 11)
+    Pr = jnp.take(P, r, axis=0)                               # (M, 11)
+    majr, mnrr = Pr[:, 0], Pr[:, 1]
+    sxr, syr, xmajr = Pr[:, 2], Pr[:, 3], Pr[:, 4] != 0
+    wr, startr = Pr[:, 5], Pr[:, 6]
+    oxr, oyr = Pr[:, 7], Pr[:, 8]
+    npathr, kr = Pr[:, 9], Pr[:, 10]
+    tslot = (m - startr).clip(0, T)
     live = m < total
-    nr = r % N
-    fl = lambda arr: arr.reshape(-1)[r]  # noqa: E731 — per-slot ray param
-    majr = fl(maj)
     smaj = jnp.where(majr > 0, tslot, 0)
     smin = jnp.maximum(
-        0, (2 * tslot * fl(mnr) + majr - 1) // (2 * jnp.maximum(majr, 1)))
-    xm = ox[nr] + fl(sx) * jnp.where(fl(xmaj), smaj, smin)
-    ym = oy[nr] + fl(sy) * jnp.where(fl(xmaj), smin, smaj)
+        0, (2 * tslot * mnrr + majr - 1) // (2 * jnp.maximum(majr, 1)))
+    xm = oxr + sxr * jnp.where(xmajr, smaj, smin)
+    ym = oyr + syr * jnp.where(xmajr, smin, smaj)
     tgt_c = jnp.where(live, (r // (3 * N)) * (H * W) + ym * W + xm,
                       2 * H * W)                    # sentinel slot if dead
     painted = jnp.full((2 * H * W + 1,), imax, jnp.int32).at[
-        tgt_c].min(fl(w))
+        tgt_c].min(wr)
     swt_flat = jnp.where(painted[:2 * H * W] == imax, 0,
                          painted[:2 * H * W])
 
     # -- median rewrite pass (max-width-wins; see module docstring) --------
-    # rank-(hn//2) select via binary search over the value range: 10
-    # masked count-reductions beat a length-71 XLA sort by a wide margin
-    xs_full = jnp.concatenate(
-        [jnp.broadcast_to(ox[None, None], (1, F, N)), xs])  # pos_0..pos_T
-    ys_full = jnp.concatenate(
-        [jnp.broadcast_to(oy[None, None], (1, F, N)), ys])
-    t_iota = jax.lax.broadcasted_iota(jnp.int32, (T + 1, F, N), 0)
-    flatpos = ys_full * W + xs_full
-    gpos = pol * (H * W) + flatpos.clip(0, H * W - 1)
-    vals = jnp.where(t_iota <= hn[None], swt_flat[gpos], imax)
-    k = hn // 2
-    med = jnp.zeros((F, N), jnp.int32)
+    # rank-(hn//2) select by binary search over the value range, computed
+    # PER SLOT: each ray's path values are exactly its slot segment's
+    # post-paint reads, so the per-round below-counts are segmented sums
+    # over the (M,) slot axis (3 log-depth scans each) instead of a
+    # (T+1, F, N) path gather — 147 k probes replace 2.66 M.
+    pad2 = (-(2 * H * W + 1)) % _LANES
+    swt_pad = jnp.pad(swt_flat, (0, pad2 + 1)).reshape(-1, _LANES)
+    v = _cgather(swt_pad, 1, tgt_c // _LANES, tgt_c % _LANES)  # (M,)
+    is_start = (m == startr) & live
+    is_end = (tslot == npathr - 1) & live
+
+    def seg_combine(a_, b_):
+        fa, va = a_
+        fb, vb = b_
+        return fa | fb, jnp.where(fb, vb, va)
+
+    med = jnp.zeros((M,), jnp.int32)
     for bit in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
         mid = med + bit
-        cnt_below = (vals < mid[None]).sum(0)
-        med = jnp.where(cnt_below <= k, mid, med)
-    pk = jnp.where(valid, w * 1024 + med, 0)
+        below = (live & (v < mid)).astype(jnp.int32)
+        pre = jax.lax.associative_scan(jnp.add, below)      # inclusive
+        _, base = jax.lax.associative_scan(
+            seg_combine, (is_start, jnp.where(is_start, pre - below, 0)))
+        _, tot = jax.lax.associative_scan(
+            seg_combine, (is_end, jnp.where(is_end, pre, 0)), reverse=True)
+        med = jnp.where(tot - base <= kr, mid, med)
+    pk_slot = jnp.where(live, wr * 1024 + med, 0)
     packed = jnp.zeros((2 * H * W + 1,), jnp.int32).at[
-        tgt_c].max(jnp.where(live, fl(pk), 0))
+        tgt_c].max(pk_slot)
     packed = packed[:2 * H * W]
     out = jnp.where(packed > 0, packed % 1024, swt_flat)
     out = out.reshape(2, H, W).astype(jnp.uint8)
     if gray8 is not None:
         # ride the gray plane along so the host needs a single fetch
         out = jnp.concatenate([out, gray8[None]], axis=0)
-    stats = jnp.stack([unresolved, max_hn, total])
+    npaint = jnp.sum(swt_flat > 0, dtype=jnp.int32)
+    stats = jnp.stack([unresolved, max_hn, total, npaint])
     return out, stats
 
 
@@ -379,15 +452,240 @@ def _connected_components(swt: jax.Array, ratio: int = 3):
         # pointer jumping: labels index pixels of the same component, so
         # label[label] is also in-component; two hops per sweep turn the
         # O(diameter) propagation into O(log) with an identical fixpoint
+        # (chunked row-gather: an element gather here costs ~8 ns x HW
+        # per hop)
         for _ in range(2):
-            lflat = new.reshape(-1)
+            lc, lnc = _chunked(new.reshape(1, -1))
+            tgt = new.clip(0, H * W - 1)
             new = jnp.where(
-                fg, jnp.minimum(new, lflat[new.clip(0, H * W - 1)]), new)
+                fg, jnp.minimum(new, _cgather(lc, lnc,
+                                              jnp.zeros_like(tgt), tgt)),
+                new)
         return new, jnp.any(new != labels)
 
     labels, _ = jax.lax.while_loop(lambda s: s[1], body,
                                    (labels, jnp.bool_(True)))
     return jnp.where(fg, labels, -1)
+
+
+_LETTER_CAP = 512   # candidate components, both polarities (device path)
+_KEPT_CAP = 128     # letters surviving the scalar filters (occlusion stage)
+_P_BUCKETS = (16384, 32768, 65536, 131072)
+
+
+def _p_bucket(npaint: int) -> int:
+    for b in _P_BUCKETS:
+        if b >= npaint:
+            return b
+    return _P_BUCKETS[-1]
+
+
+def _compact_strokes_pbucket(npaint: int) -> int:
+    for b in (8192, 16384, 24576, 32768, 49152, 65536, 98304, 131072,
+              196608, 262144):
+        if b >= npaint:
+            return b
+    return 262144
+
+
+@partial(jax.jit, static_argnames=("P",))
+def _compact_strokes(packed3, P: int):
+    """Compact both polarities' stroke cells to (pos<<7 | width) i32 +
+    gray u8 lanes: ~160 KB crosses the link instead of the 0.92 MB
+    (3, H, W) planes (the tunnel transfer dominated the whole detect).
+    packed3: the ray program's (3, H, W) uint8 output (2 stroke maps +
+    the gray plane)."""
+    H, W = packed3.shape[1], packed3.shape[2]
+    HW = H * W
+    flat = packed3[:2].reshape(-1).astype(jnp.int32)
+    fg = flat > 0
+    (pidx,) = jnp.nonzero(fg, size=P, fill_value=2 * HW)
+    valid = pidx < 2 * HW
+    safe = pidx.clip(0, 2 * HW - 1)
+    val = jnp.where(valid, _tab_gather(flat, safe), 0)
+    g = jnp.where(valid,
+                  _tab_gather(packed3[2].reshape(-1).astype(jnp.int32),
+                              safe % HW), 0)
+    packed = jnp.where(valid, safe * 128 + val.clip(0, 127), -1)
+    return packed.astype(jnp.int32), g.astype(jnp.uint8)
+
+
+def _tab_gather(tab, idx):
+
+    """Point reads of a small 1-D table via the chunked row-gather."""
+    pad = (-tab.shape[0]) % _LANES
+    tc = jnp.pad(tab, (0, pad)).reshape(-1, _LANES)
+    return _cgather(tc, 1, idx // _LANES, idx % _LANES)
+
+
+@partial(jax.jit, static_argnames=("P", "min_height", "max_height",
+                                   "min_area", "aspect_ratio", "std_ratio"))
+def _letters_device(swt2, gray8, P: int, min_height: int, max_height: int,
+                    min_area: int, aspect_ratio: float, std_ratio: float):
+    """_ccv_swt_connected_letters on the DEVICE, over COMPACTED stroke
+    pixels: both polarities' nonzero stroke cells (~30 k at VGA vs the
+    614 k dense grid) compact into P lanes; connected components run as
+    min-label propagation + pointer jumping on the precomputed 8-neighbor
+    index table (the dense-grid variant measured 79 ms/polarity — every
+    sweep re-gathered the full image); per-component statistics are row
+    scatter-adds into (P+1)-row tables; the occlusion pre-count is a
+    direct pixel-in-bbox test against the <=128 kept letters (no SAT).
+    Only (K, 13) letter rows cross to the host instead of the (3, H, W)
+    planes (0.92 MB at VGA — the measured tunnel transfer dominated the
+    whole detect).
+
+    Returns (letters (K, 13) f32 rows [valid, pol, x, y, w, h, thickness,
+    intensity, mean, std, nocc, cx, cy], counts (3,) i32 [painted cells,
+    candidate components, kept letters]) — counts drive the host's
+    P-bucket re-run / plane-path fallback.
+    """
+    H, W = swt2.shape[1], swt2.shape[2]
+    HW = H * W
+    K = _LETTER_CAP
+    K2 = _KEPT_CAP
+    ratio = 3
+    flat = swt2.reshape(-1)                        # (2HW,) int32
+    fg = flat > 0
+    npaint = jnp.sum(fg, dtype=jnp.int32)
+    (pidx,) = jnp.nonzero(fg, size=P, fill_value=2 * HW)
+    valid = jnp.arange(P) < npaint
+    pv = jnp.where(valid, _tab_gather(flat, pidx.clip(0, 2 * HW - 1)), 0)
+    pos = pidx % HW
+    pol = (pidx // HW).clip(0, 1)
+    y = pos // W
+    x = pos % W
+    grayp = jnp.where(valid,
+                      _tab_gather(gray8.reshape(-1).astype(jnp.int32),
+                                  pos.clip(0, HW - 1)), 0)
+    # inverse map pixel -> lane, then the 8-neighbor lane/join tables
+    inv = jnp.full((2 * HW + 1,), -1, jnp.int32).at[pidx].set(
+        jnp.arange(P, dtype=jnp.int32))
+    own = jnp.arange(P, dtype=jnp.int32)
+    nbs = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            ny_, nx_ = y + dy, x + dx
+            inb = (ny_ >= 0) & (ny_ < H) & (nx_ >= 0) & (nx_ < W) & valid
+            npos = (pol * HW + ny_.clip(0, H - 1) * W
+                    + nx_.clip(0, W - 1))
+            nidx = _tab_gather(inv, npos)
+            nval = jnp.where(nidx >= 0,
+                             _tab_gather(pv, nidx.clip(0, P - 1)), 0)
+            join = (inb & (nidx >= 0) & (nval > 0)
+                    & (nval <= ratio * pv) & (pv <= ratio * nval))
+            nbs.append(jnp.where(join, nidx, own))
+    nb = jnp.stack(nbs, axis=1)                     # (P, 8)
+
+    def body(state):
+        lbl, _ = state
+        g = _tab_gather(lbl, nb.reshape(-1)).reshape(P, 8)
+        new = jnp.minimum(lbl, jnp.min(g, axis=1))
+        for _ in range(3):
+            new = jnp.minimum(new, _tab_gather(new, new))
+        return new, jnp.any(new != lbl)
+
+    lbl, _ = jax.lax.while_loop(lambda s: s[1], body,
+                                (own, jnp.bool_(True)))
+    lblk = jnp.where(valid, lbl, P)
+
+    # per-component statistics (tables keyed by the root lane index)
+    vf = pv.astype(jnp.float32)
+    fgf = valid.astype(jnp.float32)
+    cnt = jnp.zeros((P + 1,), jnp.int32).at[lblk].add(
+        valid.astype(jnp.int32))
+    big = jnp.int32(1 << 30)
+    mn = jnp.full((P + 1, 2), big).at[lblk].min(jnp.stack(
+        [jnp.where(valid, x, big), jnp.where(valid, y, big)], axis=1))
+    mx = jnp.full((P + 1, 2), -big).at[lblk].max(jnp.stack(
+        [jnp.where(valid, x, -big), jnp.where(valid, y, -big)], axis=1))
+    # moments centered on the component bbox origin (raw f32 x^2 sums at
+    # VGA magnitudes lose ~8 bits; centered they stay exact enough)
+    x0p = _tab_gather(mn[:, 0], lblk)
+    y0p = _tab_gather(mn[:, 1], lblk)
+    xr = (x - x0p).astype(jnp.float32) * fgf
+    yr = (y - y0p).astype(jnp.float32) * fgf
+    payload = jnp.stack([xr, yr, xr * xr, yr * yr, xr * yr,
+                         vf * fgf, vf * vf * fgf,
+                         grayp.astype(jnp.float32) * fgf], axis=1)
+    sums = jnp.zeros((P + 1, 8), jnp.float32).at[lblk].add(payload)
+    hist = jnp.zeros((P + 1, 128), jnp.float32).at[lblk].add(
+        jax.nn.one_hot(pv.clip(0, 127), 128) * fgf[:, None])
+
+    # compact the component table: top-K by size among >= min_area
+    score = jnp.where(cnt[:P] >= min_area, cnt[:P], -1)
+    topv, kidx = jax.lax.top_k(score, K)
+    cand = topv > 0
+    n_cand = jnp.sum((cnt[:P] >= min_area).astype(jnp.int32))
+    S = jnp.take(sums, kidx, axis=0)
+    C = jnp.take(cnt, kidx, axis=0).astype(jnp.float32)
+    Cs = jnp.maximum(C, 1.0)
+    bx0 = jnp.take(mn[:, 0], kidx)
+    by0 = jnp.take(mn[:, 1], kidx)
+    bx1 = jnp.take(mx[:, 0], kidx)
+    by1 = jnp.take(mx[:, 1], kidx)
+    Hst = jnp.take(hist, kidx, axis=0)
+    polk = _tab_gather(pol, kidx)                  # polarity of the root
+    width = (bx1 - bx0 + 1).astype(jnp.float32)
+    height = (by1 - by0 + 1).astype(jnp.float32)
+    keep = cand & (height >= min_height) & (height <= max_height)
+    ar = width / height
+    keep &= (ar >= 1.0 / aspect_ratio) & (ar <= aspect_ratio)
+    xc = S[:, 0] / Cs
+    yc = S[:, 1] / Cs
+    af = S[:, 2] / Cs - xc * xc
+    bf = 2.0 * (S[:, 4] / Cs - xc * yc)
+    cf = S[:, 3] / Cs - yc * yc
+    delta = jnp.sqrt(bf * bf + (af - cf) ** 2)
+    mom = jnp.sqrt((af + cf + delta)
+                   / jnp.maximum(af + cf - delta, 1e-12))
+    keep &= (mom >= 1.0 / aspect_ratio) & (mom <= aspect_ratio)
+    mean = S[:, 5] / Cs
+    var = S[:, 6] / Cs - mean * mean
+    std = jnp.sqrt(jnp.maximum(var, 0.0))
+    keep &= std <= mean * std_ratio
+    # thickness: value at rank (cnt-1)//2 of the sorted widths
+    cum = jnp.cumsum(Hst, axis=1)
+    rank = jnp.floor((C - 1.0) / 2.0) + 1.0
+    med = jnp.argmax(cum >= rank[:, None], axis=1).astype(jnp.float32)
+    inten = jnp.floor(S[:, 7] / Cs)
+    n_kept = jnp.sum(keep.astype(jnp.int32))
+
+    # occlusion pre-count: pixel-in-bbox tests against the kept letters
+    # (same-polarity, exact — mirrors the reference's lab_img scan,
+    # ccv_swt.c:368-399)
+    kscore = jnp.where(keep, C, -1.0)
+    _, kk = jax.lax.top_k(kscore, K2)              # rows into the K table
+    kvalid = jnp.take(keep, kk)
+    klab = jnp.take(kidx, kk)                      # component root lanes
+    invk = jnp.full((P + 1,), -1, jnp.int32).at[
+        jnp.where(kvalid, klab, P)].max(jnp.arange(K2, dtype=jnp.int32))
+    j2 = _tab_gather(invk, lblk)                   # (P,) kept row or -1
+    j2 = jnp.where(j2 < 0, K2, j2)
+    kx0 = jnp.take(bx0, kk)
+    ky0 = jnp.take(by0, kk)
+    kx1 = jnp.take(bx1, kk)
+    ky1 = jnp.take(by1, kk)
+    kpol = jnp.take(polk, kk)
+    inbox = (valid[:, None] & kvalid[None, :]
+             & (pol[:, None] == kpol[None, :])
+             & (x[:, None] >= kx0[None, :]) & (x[:, None] <= kx1[None, :])
+             & (y[:, None] >= ky0[None, :]) & (y[:, None] <= ky1[None, :]))
+    presence = jnp.zeros((K2 + 1, K2), jnp.float32).at[j2].max(
+        inbox.astype(jnp.float32))[:K2]            # [j, k]
+    self_mask = jnp.arange(K2)[:, None] == jnp.arange(K2)[None, :]
+    nocc = jnp.sum(presence * (~self_mask) * kvalid[:, None].astype(
+        jnp.float32), axis=0)
+    noccK = jnp.zeros((K + 1,), jnp.float32).at[
+        jnp.where(kvalid, kk, K)].max(nocc)[:K]
+    rows = jnp.stack([
+        keep.astype(jnp.float32), polk.astype(jnp.float32),
+        bx0.astype(jnp.float32), by0.astype(jnp.float32), width, height,
+        med, inten, mean, std, noccK,
+        bx0.astype(jnp.float32) + jnp.floor(width / 2),
+        by0.astype(jnp.float32) + jnp.floor(height / 2)], axis=1)
+    return rows, jnp.stack([npaint, n_cand, n_kept])
 
 
 def _cc_host(swt_np: np.ndarray, ratio: int = 3) -> np.ndarray:
@@ -578,6 +876,20 @@ def _merge_textline(letters: List[dict], params: SwtParams) -> List[dict]:
     return out
 
 
+def _swt_group_textlines(textlines: List[dict], params: SwtParams):
+    """Group overlapping textlines, keep the widest per group."""
+    if not textlines:
+        return textlines
+    idx = group(textlines, lambda a, b: _same_textline(
+        a, b, params.same_word_thresh))
+    ngroups = max(idx) + 1
+    best = [None] * ngroups
+    for t, g in zip(textlines, idx):
+        if best[g] is None or t["width"] > best[g]["width"]:
+            best[g] = t
+    return best
+
+
 def _same_textline(t1, t2, thresh) -> bool:
     w = min(t1["x"] + t1["width"], t2["x"] + t2["width"]) - max(t1["x"], t2["x"])
     h = min(t1["y"] + t1["height"], t2["y"] + t2["height"]) - max(t1["y"], t2["y"])
@@ -624,8 +936,42 @@ def _bbox(ls):
     return dict(x=x0, y=y0, width=x1 - x0, height=y1 - y0)
 
 
+@partial(jax.jit, static_argnames=("n_rays", "T", "m_slots", "Pc", "size",
+                                   "low", "high"))
+def _swt_full(pyr, n_rays: int, T: int, m_slots: int, Pc: int, size: int,
+              low: int, high: int):
+    """Frontend + rays + stroke compaction as ONE program returning ONE
+    i32 bundle [cnt, unresolved, max_hn, total, npaint, 0, 0, 0 | packed
+    stroke lanes (Pc) | gray bytes (Pc/4 words)]. The tunneled device
+    serializes RPCs, so the stepwise path's ~4 round trips per image cost
+    ~120 ms of link latency; the steady state here is one dispatch + one
+    fetch."""
+    c, dx, dy, cnt, gray8 = _swt_frontend(pyr, size, low, high)
+    packed3, stats = _swt_rays_both(c, dx, dy, n_rays, T=T,
+                                    m_slots=m_slots, gray8=gray8)
+    pk, g = _compact_strokes(packed3, Pc)
+    g4 = jnp.sum(g.astype(jnp.int32).reshape(-1, 4)
+                 * jnp.array([1, 256, 65536, 1 << 24], jnp.int32), axis=1)
+    header = jnp.concatenate([cnt[None], stats,
+                              jnp.zeros((3,), jnp.int32)])
+    return jnp.concatenate([header, pk, g4])
+
+
 _COUNT_HINT: dict = {}   # (H, W) -> last seen edge count (lane bucketing)
 _EXECUTOR = None
+
+# letter-stage route: "compact" ships ~160 KB of compacted stroke cells
+# to the fast native host CC + numpy stats (default on accelerators —
+# the on-device CC converges in ~39 label-propagation sweeps and costs
+# more than the transfer it saves); "device" runs CC + stats + filters
+# fully on-chip; "host" fetches the full planes (CPU-backend default).
+SWT_LETTERS = os.environ.get("SWT_LETTERS", "")
+
+
+def _letters_mode() -> str:
+    if SWT_LETTERS in ("device", "compact", "host"):
+        return SWT_LETTERS
+    return "compact" if jax.default_backend() != "cpu" else "host"
 
 
 def detect_words_async(a, params: Optional[SwtParams] = None):
@@ -692,6 +1038,77 @@ def detect_words(a, params: Optional[SwtParams] = None,
             pyr = phx
         h_, w_ = pyr.shape
         _t = __import__("time").perf_counter()
+        # FAST PATH (steady state, "compact" letter mode with a hint):
+        # frontend + rays + stroke compaction in one program, one fetch.
+        # Any overflow in the header re-sizes and retries; persistent
+        # disagreement falls through to the stepwise path below.
+        hint0 = _COUNT_HINT.get((h_, w_))
+        sm_np = gray_np = None
+        if _letters_mode() == "compact" and hint0 is not None:
+            cnt_h, maxhn_h, total_h, npaint_h = hint0
+            for _fretry in range(3):
+                n_rays = _bucket_for(cnt_h, h_ * w_)
+                T = _t_bucket(maxhn_h)
+                m_slots = _m_bucket(total_h, n_rays, T)
+                Pc = _compact_strokes_pbucket(npaint_h)
+                bundle = _swt_full(
+                    pyr, n_rays, T, m_slots, Pc, params.size,
+                    int(params.low_thresh + 0.5),
+                    int(params.high_thresh + 0.5))
+                arr = np.asarray(bundle)
+                cnt, unresolved, max_hn, total, npaint = map(int, arr[:5])
+                _COUNT_HINT[(h_, w_)] = (
+                    cnt, max_hn if not unresolved else MAX_RAY, total,
+                    npaint)
+                lanes_ok = (cnt <= n_rays
+                            or n_rays >= _ray_lanes(h_ * w_))
+                slot_cap = min((T + 1) * 6 * n_rays, 24 * n_rays)
+                slots_ok = (total <= m_slots or m_slots >= slot_cap)
+                if (lanes_ok and slots_ok and not unresolved
+                        and npaint <= Pc):
+                    pk = arr[8:8 + Pc]
+                    m = pk >= 0
+                    cpos = (pk[m] >> 7).astype(np.int64)
+                    sm_flat = np.zeros(2 * h_ * w_, np.uint8)
+                    sm_flat[cpos] = (pk[m] & 127).astype(np.uint8)
+                    sm_np = sm_flat.reshape(2, h_, w_)
+                    gl = arr[8 + Pc:].view(np.uint8)[:Pc][m]
+                    gray_flat = np.zeros(h_ * w_, np.uint8)
+                    gray_flat[cpos % (h_ * w_)] = gl
+                    gray_np = gray_flat.reshape(h_, w_)
+                    break
+                cnt_h, maxhn_h = cnt, (MAX_RAY if unresolved else max_hn)
+                total_h, npaint_h = total, npaint
+        if sm_np is not None:
+            _t = _mark("rays", _t)
+            ccs = [_cc_host(sm_np[d]) for d in range(2)]
+            _t = _mark("cc", _t)
+            textlines = []
+            for d in range(2):  # DARK_TO_BRIGHT, BRIGHT_TO_DARK
+                letters = _letters_from_components(
+                    gray_np, sm_np[d], ccs[d], params)
+                textlines += _merge_textline(letters, params)
+            _finish_scale = True
+        else:
+            _finish_scale = False
+        if _finish_scale:
+            _t = _mark("letters", _t)
+            textlines = _swt_group_textlines(textlines, params)
+            words = (_break_words(textlines, params) if params.breakdown
+                     else [{kk: t[kk] for kk in ("x", "y", "width",
+                                                 "height")}
+                           for t in textlines])
+            if params.scale_invariant:
+                for wd in words:
+                    all_words.append(dict(
+                        x=int(wd["x"] * cscale + 0.5),
+                        y=int(wd["y"] * cscale + 0.5),
+                        width=int(wd["width"] * cscale + 0.5),
+                        height=int(wd["height"] * cscale + 0.5)))
+                cscale *= scale
+            else:
+                all_words = words
+            continue
         c_dev, dx_dev, dy_dev, cnt_dev, gray8 = _swt_frontend(
             pyr, params.size, int(params.low_thresh + 0.5),
             int(params.high_thresh + 0.5))
@@ -717,8 +1134,13 @@ def detect_words(a, params: Optional[SwtParams] = None,
                 gray8=gray8)
             # start ALL device->host copies before blocking on any: each
             # sync fetch over the tunneled device costs a full RTT; issued
-            # together they overlap into ~one
-            for buf in (cnt_dev, stats_dev, packed):
+            # together they overlap into ~one. The plane buffer only
+            # crosses on the host letter path — prefetching it on the
+            # device-letter path would put 0.92 MB back on the link.
+            bufs = ((cnt_dev, stats_dev, packed)
+                    if _letters_mode() == "host"
+                    else (cnt_dev, stats_dev))
+            for buf in bufs:
                 try:
                     buf.copy_to_host_async()
                 except AttributeError:
@@ -728,9 +1150,9 @@ def detect_words(a, params: Optional[SwtParams] = None,
             _t = _mark("rays", _t)
             cnt = int(cnt_dev)
             stats = np.asarray(stats_dev)
-            unresolved, max_hn, total = map(int, stats)
+            unresolved, max_hn, total, npaint = map(int, stats)
             _COUNT_HINT[(h_, w_)] = (cnt, max_hn if not unresolved
-                                     else MAX_RAY, total)
+                                     else MAX_RAY, total, npaint)
             lanes_ok = cnt <= n_rays or n_rays >= _ray_lanes(h_ * w_)
             slot_cap = min((T + 1) * 6 * n_rays, 24 * n_rays)
             slots_ok = (m_slots is None or total <= m_slots
@@ -741,27 +1163,82 @@ def detect_words(a, params: Optional[SwtParams] = None,
             T = MAX_RAY if unresolved else T
             m_slots = _m_bucket(total, n_rays, T)
         _t = _mark("sync", _t)
-        arr = np.asarray(packed)
-        sm_np, gray_np = arr[:2], arr[2]
+        letters2 = None
+        sm_np = gray_np = None
+        mode = _letters_mode()
+        if mode == "compact":
+            # ship compacted stroke cells, keep the native host CC +
+            # numpy letter stats (overflow -> full plane fetch)
+            Pc = _compact_strokes_pbucket(npaint)
+            if npaint <= Pc:
+                pk_dev, g_dev = _compact_strokes(packed, Pc)
+                pk = np.asarray(pk_dev)
+                gl = np.asarray(g_dev)
+                m = pk >= 0
+                cpos = (pk[m] >> 7).astype(np.int64)
+                sm_flat = np.zeros(2 * h_ * w_, np.uint8)
+                sm_flat[cpos] = (pk[m] & 127).astype(np.uint8)
+                sm_np = sm_flat.reshape(2, h_, w_)
+                gray_flat = np.zeros(h_ * w_, np.uint8)
+                gray_flat[cpos % (h_ * w_)] = gl[m]
+                gray_np = gray_flat.reshape(h_, w_)
+        elif mode == "device":
+            # device letter stage: CC + per-component stats + filters run
+            # on-chip; only (K, 13) letter rows cross the link (the
+            # (3, H, W) plane fetch measured ~170 ms on the tunneled
+            # device and dominated the whole detect). The P bucket comes
+            # from the measured painted-cell count; overflow re-runs one
+            # bucket up, table overflow falls back to the host plane path.
+            P = _p_bucket(npaint)
+            for _lretry in range(2):
+                rows_dev, cnts_dev = _letters_device(
+                    packed[:2].astype(jnp.int32), packed[2], P=P,
+                    min_height=params.min_height,
+                    max_height=params.max_height,
+                    min_area=params.min_area,
+                    aspect_ratio=params.aspect_ratio,
+                    std_ratio=params.std_ratio)
+                cnts_np = np.asarray(cnts_dev)
+                if cnts_np[0] <= P or P >= _P_BUCKETS[-1]:
+                    break
+                P = _p_bucket(int(cnts_np[0]))
+            if (cnts_np[0] <= P and cnts_np[1] <= _LETTER_CAP
+                    and cnts_np[2] <= _KEPT_CAP):
+                rows_np = np.asarray(rows_dev)
+                letters2 = [[], []]
+                for row in rows_np:
+                    if row[0] == 0.0:
+                        continue
+                    if (params.letter_occlude_thresh
+                            and row[10] > params.letter_occlude_thresh):
+                        continue
+                    letters2[int(row[1])].append(dict(
+                        x=int(row[2]), y=int(row[3]),
+                        width=int(row[4]), height=int(row[5]),
+                        cx=int(row[11]), cy=int(row[12]),
+                        thickness=int(row[6]), intensity=int(row[7]),
+                        mean=float(row[8]), std=float(row[9])))
+            # component/kept overflow: fall through to the host plane path
         _t = _mark("fetch", _t)
-        ccs = [_cc_host(sm_np[d]) for d in range(2)]
-        _t = _mark("cc", _t)
-        textlines = []
-        for d in range(2):  # DARK_TO_BRIGHT, BRIGHT_TO_DARK
-            letters = _letters_from_components(
-                gray_np, sm_np[d], ccs[d], params)
-            textlines += _merge_textline(letters, params)
+        if letters2 is not None:
+            _t = _mark("cc", _t)
+            textlines = []
+            for d in range(2):
+                textlines += _merge_textline(letters2[d], params)
+        else:
+            if sm_np is None:
+                arr = np.asarray(packed)
+                sm_np, gray_np = arr[:2], arr[2]
+            _t = _mark("fetch", _t)
+            ccs = [_cc_host(sm_np[d]) for d in range(2)]
+            _t = _mark("cc", _t)
+            textlines = []
+            for d in range(2):  # DARK_TO_BRIGHT, BRIGHT_TO_DARK
+                letters = _letters_from_components(
+                    gray_np, sm_np[d], ccs[d], params)
+                textlines += _merge_textline(letters, params)
         _t = _mark("letters", _t)
-        # group overlapping textlines, keep the widest per group
-        if textlines:
-            idx = group(textlines, lambda a, b: _same_textline(
-                a, b, params.same_word_thresh))
-            ngroups = max(idx) + 1
-            best = [None] * ngroups
-            for t, g in zip(textlines, idx):
-                if best[g] is None or t["width"] > best[g]["width"]:
-                    best[g] = t
-            textlines = best
+        textlines = _swt_group_textlines(textlines, params)
         words = _break_words(textlines, params) if params.breakdown else [
             {kk: t[kk] for kk in ("x", "y", "width", "height")} for t in textlines]
         if params.scale_invariant:

@@ -96,7 +96,10 @@ def forward(params, cfg: MoEConfig, x,
     # earlier tokens routed to the same expert
     onehot = jax.nn.one_hot(gate_idx, E, dtype=jnp.int32)  # (N, K, E)
     flatoh = onehot.reshape(N * K, E)
-    pos_in_expert = jnp.cumsum(flatoh, axis=0) - flatoh    # (N*K, E)
+    # log-depth scan: jnp.cumsum lowers to a quadratic reduce-window on
+    # TPU ((N*K)^2 * E element reads at LM batch sizes)
+    pos_in_expert = jax.lax.associative_scan(
+        jnp.add, flatoh, axis=0) - flatoh                  # (N*K, E)
     pos = jnp.sum(pos_in_expert * flatoh, axis=-1).reshape(N, K)
     keep = pos < C
 

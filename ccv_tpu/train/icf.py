@@ -130,8 +130,9 @@ def _best_split(values: np.ndarray, weights: np.ndarray, y: np.ndarray):
     sy = yy[order]
     W1 = jnp.sum(w * yy)
     W0 = jnp.sum(w * (~yy))
-    cum1 = jnp.cumsum(sw * sy, axis=0)                 # pos weight <= split
-    cum0 = jnp.cumsum(sw * (~sy), axis=0)
+    # log-depth scans (jnp.cumsum is a quadratic reduce-window on TPU)
+    cum1 = jax.lax.associative_scan(jnp.add, sw * sy, axis=0)
+    cum0 = jax.lax.associative_scan(jnp.add, sw * (~sy), axis=0)
     # split after position j: left = indices [0..j]
     # polarity +1 (right side positive): err = cum1 + (W0 - cum0)
     # polarity -1 (left side positive):  err = cum0 + (W1 - cum1)
