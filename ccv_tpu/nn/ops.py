@@ -21,6 +21,40 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+# tensor formats (reference: CCV_TENSOR_FORMAT_* lib/nnc/ccv_nnc.h:45-49).
+# The reference threads the format through every kernel's registry mask;
+# here format-sensitive ops (conv/pool/norm) take format= directly and XLA
+# picks layouts. CHWN is the reference's cuda-convnet legacy layout.
+FORMAT_NHWC = "NHWC"
+FORMAT_NCHW = "NCHW"
+FORMAT_CHWN = "CHWN"
+FORMATS = (FORMAT_NHWC, FORMAT_NCHW, FORMAT_CHWN)
+
+# axis-permutation between any two formats (4-D tensors)
+_FORMAT_AXES = {  # format -> position of (N, H, W, C)
+    FORMAT_NHWC: (0, 1, 2, 3),
+    FORMAT_NCHW: (0, 2, 3, 1),
+    FORMAT_CHWN: (3, 1, 2, 0),
+}
+
+
+def format_perm(src: str, dst: str) -> Tuple[int, ...]:
+    """The jnp.transpose permutation converting format `src` -> `dst`."""
+    s, d = _FORMAT_AXES[src], _FORMAT_AXES[dst]
+    perm = [0] * 4
+    for k in range(4):  # semantic dim k (N,H,W,C): dst position <- src
+        perm[d[k]] = s[k]
+    return tuple(perm)
+
+
+def _pool_dims(size, stride, format: str):
+    """reduce_window window/stride tuples for a 4-D tensor in `format`."""
+    n, h, w, c = _FORMAT_AXES[format]
+    win, st = [1] * 4, [1] * 4
+    win[h], win[w] = size
+    st[h], st[w] = stride
+    return tuple(win), tuple(st)
+
 # ---------------------------------------------------------------------------
 # blas (lib/nnc/cmd/blas)
 # ---------------------------------------------------------------------------
@@ -66,22 +100,31 @@ def cmul(a, b):
 # ---------------------------------------------------------------------------
 
 def conv2d(x, w, bias=None, stride=(1, 1), padding="SAME", dilation=(1, 1),
-           groups: int = 1, precision=None):
-    """CCV_NNC_CONVOLUTION_FORWARD, NHWC x OHWI -> NHWC.
+           groups: int = 1, precision=None, format: str = FORMAT_NHWC):
+    """CCV_NNC_CONVOLUTION_FORWARD.
 
-    On TPU this lowers straight onto the MXU; bf16 inputs stay bf16 with
-    f32 accumulation (preferred_element_type).
+    `format` is the input/output tensor layout (NHWC default, NCHW/CHWN as
+    in the reference's registry masks, ccv_nnc.h:45-49); the weight layout
+    is always OHWI (the reference's CPU layout). XLA's dimension_numbers
+    handle the layout natively — no transposes are materialized. On TPU
+    this lowers straight onto the MXU; bf16 inputs stay bf16 with f32
+    accumulation (preferred_element_type). `bias` is per-output-channel
+    (broadcast along the format's C axis).
     """
     if isinstance(padding, int):
         padding = [(padding, padding)] * 2
-    dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "OHWI", "NHWC"))
+    dn = lax.conv_dimension_numbers(x.shape, w.shape,
+                                    (format, "OHWI", format))
     out = lax.conv_general_dilated(
         x, w, window_strides=stride, padding=padding,
         rhs_dilation=dilation, dimension_numbers=dn,
         feature_group_count=groups,
         preferred_element_type=jnp.float32)
     if bias is not None:
-        out = out + bias
+        c_axis = _FORMAT_AXES[format][3]
+        shape = [1] * 4
+        shape[c_axis] = -1
+        out = out + jnp.reshape(bias, shape)
     return out.astype(x.dtype)
 
 
@@ -219,22 +262,25 @@ def ewmax(a, b):
 # pooling (lib/nnc/cmd/pool)
 # ---------------------------------------------------------------------------
 
-def max_pool(x, size=(2, 2), stride=None, padding="VALID"):
+def max_pool(x, size=(2, 2), stride=None, padding="VALID",
+             format: str = FORMAT_NHWC):
     stride = stride or size
+    win, st = _pool_dims(size, stride, format)
     return lax.reduce_window(
         x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
-        lax.max, (1, *size, 1), (1, *stride, 1), padding)
+        lax.max, win, st, padding)
 
 
 def avg_pool(x, size=(2, 2), stride=None, padding="VALID",
-             count_include_pad: bool = False):
+             count_include_pad: bool = False, format: str = FORMAT_NHWC):
     stride = stride or size
+    win, st = _pool_dims(size, stride, format)
     summed = lax.reduce_window(x.astype(jnp.float32), 0.0, lax.add,
-                               (1, *size, 1), (1, *stride, 1), padding)
+                               win, st, padding)
     if count_include_pad or padding == "VALID":
         return (summed / (size[0] * size[1])).astype(x.dtype)
     counts = lax.reduce_window(jnp.ones_like(x, jnp.float32), 0.0, lax.add,
-                               (1, *size, 1), (1, *stride, 1), padding)
+                               win, st, padding)
     return (summed / counts).astype(x.dtype)
 
 
@@ -244,9 +290,31 @@ def avg_pool(x, size=(2, 2), stride=None, padding="VALID",
 
 def batch_norm(x, scale, bias, mean, var, epsilon: float = 1e-5,
                is_training: bool = False, momentum: float = 0.9,
-               axis: Sequence[int] = (0, 1, 2)):
+               axis: Sequence[int] = (0, 1, 2),
+               format: Optional[str] = None):
     """CCV_NNC_BATCH_NORM_FORWARD. Returns (y, new_mean, new_var) when
-    training, else y."""
+    training, else y. With `format` set, `axis` is derived as every axis
+    but the format's channel axis, and scale/bias/mean/var broadcast along
+    that channel axis (the reference's per-format registry semantics)."""
+    if format is not None:
+        c_axis = _FORMAT_AXES[format][3]
+        axis = tuple(i for i in range(4) if i != c_axis)
+        shape = [1] * 4
+        shape[c_axis] = -1
+        scale, bias = jnp.reshape(scale, shape), jnp.reshape(bias, shape)
+        mean, var = jnp.reshape(mean, shape), jnp.reshape(var, shape)
+        if is_training:
+            xf = x.astype(jnp.float32)
+            m = jnp.mean(xf, axis=axis, keepdims=True)
+            v = jnp.var(xf, axis=axis, keepdims=True)
+            y = (xf - m) * lax.rsqrt(v + epsilon) * scale + bias
+            new_mean = momentum * mean + (1 - momentum) * m
+            new_var = momentum * var + (1 - momentum) * v
+            return (y.astype(x.dtype), new_mean.reshape(-1),
+                    new_var.reshape(-1))
+        y = (x.astype(jnp.float32) - mean) * lax.rsqrt(var + epsilon) \
+            * scale + bias
+        return y.astype(x.dtype)
     if is_training:
         xf = x.astype(jnp.float32)
         m = jnp.mean(xf, axis=tuple(axis))
@@ -408,8 +476,13 @@ def reduce_isnan(x, axis, keepdims=True):
 # util / layout (lib/nnc/cmd/util, pad, index, upsample, histogram)
 # ---------------------------------------------------------------------------
 
-def format_transform(x, perm: Sequence[int]):
-    """CCV_NNC_FORMAT_TRANSFORM (full permutation)."""
+def format_transform(x, perm: Optional[Sequence[int]] = None,
+                     src: Optional[str] = None, dst: Optional[str] = None):
+    """CCV_NNC_FORMAT_TRANSFORM (cmd/util/ccv_nnc_util.c): relayout a 4-D
+    tensor between the reference's named formats (NHWC/NCHW/CHWN,
+    ccv_nnc.h:45-49), or apply an explicit axis permutation."""
+    if perm is None:
+        perm = format_perm(src, dst)
     return jnp.transpose(x, perm)
 
 
