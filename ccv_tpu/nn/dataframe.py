@@ -66,6 +66,10 @@ class Dataframe:
         """All column names (ccv_cnnp_dataframe_column_name twin)."""
         return list(self._columns) + list(self._derived)
 
+    def col(self, name: str):
+        """The raw column object (list / ndarray / lazy _CsvColumn)."""
+        return self._columns[name]
+
     # -- constructors -------------------------------------------------------
     @classmethod
     def from_array(cls, name: str, array) -> "Dataframe":
