@@ -36,12 +36,30 @@ import threading
 import time
 from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 
-__all__ = ["choose", "measure", "cache_path", "clear", "decisions"]
+__all__ = ["choose", "measure", "cache_path", "clear", "decisions",
+           "stats", "stats_delta"]
 
 _LOCK = threading.RLock()
 _MEM: Optional[Dict[str, Any]] = None  # loaded JSON cache
 _TRIALS = 2  # cmd.c:492 measures each backend/algorithm twice
 _WARMUP = 1
+
+# per-process decision accounting (hits = persisted winner reused,
+# measured = live re-measurement ran). bench.py surfaces these per config
+# so a silent decision change (the round-4 SCD regression vector) shows up
+# in the bench line instead of going unnoticed.
+_STATS = {"hits": 0, "measured": 0}
+
+
+def stats() -> Dict[str, int]:
+    """Snapshot of this process's decision counters."""
+    with _LOCK:
+        return dict(_STATS)
+
+
+def stats_delta(before: Dict[str, int]) -> Dict[str, int]:
+    now = stats()
+    return {k: now[k] - before.get(k, 0) for k in now}
 
 
 def cache_path() -> str:
@@ -161,6 +179,7 @@ def measure(op: str, variants: Dict[str, Callable], make_args: Callable,
     winner = min(timings, key=timings.get)
     cache = _load()
     with _LOCK:
+        _STATS["measured"] += 1
         cache[_key(op, args, extra)] = {
             "choice": winner,
             "ms": {k: (round(v * 1e3, 4) if v != float("inf") else None)
@@ -197,6 +216,8 @@ def choose(op: str, variants: Dict[str, Callable], args: Sequence[Any],
     key = _key(op, args, extra)
     hit = _load().get(key)
     if hit is not None and hit.get("choice") in variants:
+        with _LOCK:
+            _STATS["hits"] += 1
         return variants[hit["choice"]]
     if not all(_is_concrete(a) for a in args):
         return variants[default]

@@ -102,3 +102,14 @@ def test_env_disable_skips_measurement(monkeypatch):
                          default="a")
     assert fn is _slow
     assert autotune.decisions() == {}
+
+
+def test_stats_accounting():
+    before = autotune.stats()
+    x = jnp.zeros((32,), jnp.float32)
+    autotune.choose("acct", {"a": _slow, "b": _fast}, (x,))  # miss: measures
+    d1 = autotune.stats_delta(before)
+    assert d1["measured"] == 1
+    autotune.choose("acct", {"a": _slow, "b": _fast}, (x,))  # hit
+    d2 = autotune.stats_delta(before)
+    assert d2["measured"] == 1 and d2["hits"] == d1["hits"] + 1
