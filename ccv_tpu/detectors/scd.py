@@ -53,6 +53,15 @@ import os as _os
 
 TPU_EXACT_BOX_SUMS = _os.environ.get("CCV_TPU_SCD_EXACT", "1") != "0"
 
+# Exact box-sum FORM on TPU: "take" = 4 f32 corner-row gathers + 3 VPU adds
+# (round 4); "matmul" = first-corner-centered matmul at Precision.HIGHEST
+# (round 3). Both are window-exact; which is faster depends on the phase
+# width (the round-4 swap to "take" regressed the big SCD octaves 42 -> 123
+# ms measured, while helping ICF) — so the production choice is autotuned
+# per octave (see _octave_variants); this env var only pins it for A/B
+# experiments.
+BOX_SUM_FORM = _os.environ.get("CCV_TPU_SCD_BOX_FORM", "")
+
 # small standalone program for the octave chain (shared across levels and
 # images; jax.jit caches by input shape)
 _sample_down_jit = jax.jit(lambda a: resample.sample_down(a))
@@ -303,37 +312,98 @@ def _tile_selector(offsets, th: int, tw: int, step: int, M: np.ndarray):
     return M2
 
 
-def _surf_from_D(D, phase):
+def _surf_eval_f4n8(box, phase):
+    """(v (n, S), passed (n,)) from box sums in the (F, 4, n, 8) layout.
+
+    Same math as the (n, F, 32) path but the L2Hys normalize / clamp /
+    renormalize / stump dot (ccv_scd.c:502-533) reductions run over axes
+    (1, 3) IN PLACE — no (F*4, n*8) -> (n, F, 32) relayout. That
+    transpose was a full extra pass over the ~113 MB box tensor per
+    phase on the big levels; reductions over split axes are free."""
+    w, bias = phase["w"], phase["bias"]
+    F, n = box.shape[0], box.shape[2]
+    nsq = jnp.sum(box * box, axis=(1, 3))                    # (F, n)
+    inv = 1.0 / (jnp.sqrt(nsq) + 1e-6)
+    surf = jnp.clip(box * inv[:, None, :, None], -_THETA, _THETA)
+    nsq2 = jnp.sum(surf * surf, axis=(1, 3))
+    inv2 = 1.0 / (jnp.sqrt(nsq2) + 1e-6)
+    # logit = <surf * inv2, w> = <surf, w> * inv2 (inv2 constant per (f,n))
+    dot = jnp.sum(surf * w.reshape(F, 4, 1, 8), axis=(1, 3))  # (F, n)
+    logit = dot * inv2 + bias[:, None]
+    resp = jnp.tanh(0.5 * logit)
+    v = resp.T @ phase["onehot"]                              # (n, S)
+    passed = jnp.all(v > phase["thresholds"], axis=-1)
+    return v, passed
+
+
+def _box_from_planes(planes, phase, ny: int, nx: int, step: int):
+    """Box sums for EVERY grid window DIRECTLY from unit-stride plane
+    slices: row f4 = S[c0] - S[c1] - S[c2] + S[c3] where each corner is a
+    dense slice of the matching phase plane. No Dt materialization, no
+    gather, no matmul — the 4 slice-reads + 3 VPU adds fuse into the
+    (F, 4, n, 8) stack write, and the sums are exact in f32 (the same
+    corner arithmetic the reference does per window, ccv_scd.c:502-533).
+    """
+    offsets = np.asarray(phase["offsets"])
+    cache: dict = {}
+
+    def corner(j: int):
+        got = cache.get(j)
+        if got is None:
+            oy, ox = int(offsets[j, 0]), int(offsets[j, 1])
+            got = jax.lax.slice(
+                planes,
+                (oy % step, ox % step, oy // step, ox // step, 0),
+                (oy % step + 1, ox % step + 1, oy // step + ny,
+                 ox // step + nx, 8))[0, 0].reshape(ny * nx, 8)
+            cache[j] = got
+        return got
+
+    ci = np.asarray(phase["cidx"])  # (F*4, 4)
+    rows = [corner(int(c[0])) - corner(int(c[1]))
+            - corner(int(c[2])) + corner(int(c[3])) for c in ci]
+    return jnp.stack(rows, axis=0).reshape(len(ci) // 4, 4, ny * nx, 8)
+
+
+def _surf_from_D(D, phase, box_form: str = ""):
     n, nd = D.shape[0], D.shape[1]
     # one (F*4, nd) @ (nd, n*8) matmul — XLA lowers the equivalent einsum
     # 'fd,ndc->nfc' to a much slower batched form
     Dt = D.transpose(1, 0, 2).reshape(nd, n * 8)
-    return _surf_from_Dt(Dt, n, phase)
+    return _surf_from_Dt(Dt, n, phase, box_form)
 
 
-def _surf_from_Dt(Dt, n, phase):
+def _surf_from_Dt(Dt, n, phase, box_form: str = ""):
     M, w, bias = phase["M"], phase["w"], phase["bias"]
     exact = TPU_EXACT_BOX_SUMS and jax.default_backend() != "cpu"
     if exact:
-        # see TPU_EXACT_BOX_SUMS: every row of M is exactly 4 signed SAT
-        # corners, so the box sums ARE 4 f32 row reads of Dt + 3 VPU adds
-        # — the same corner arithmetic the reference does per window
-        # (ccv_scd.c:502-533), exact in f32 with NO matmul precision
-        # passes at all. (Round 3 ran this as a centered HIGHEST-precision
-        # matmul: window-exact but 6 bf16 passes on every phase — it cost
-        # 3x the whole detect throughput. The rows here are n*8 floats
-        # wide and contiguous, so the gather streams at HBM rate, unlike
-        # the tiny 8-float corner gathers that motivated the dense forms.)
-        ci = phase["cidx"]
-        box = (jnp.take(Dt, ci[:, 0], axis=0)
-               - jnp.take(Dt, ci[:, 1], axis=0)
-               - jnp.take(Dt, ci[:, 2], axis=0)
-               + jnp.take(Dt, ci[:, 3], axis=0))
-        prec = jax.lax.Precision.HIGHEST
-    else:
-        prec = None
-        box = jnp.matmul(M, Dt, preferred_element_type=jnp.float32,
-                         precision=prec)
+        form = box_form or BOX_SUM_FORM or "take"
+        F = w.shape[0]
+        if form == "matmul":
+            # first-corner centering (mathematically a no-op: every corner
+            # row of M sums to zero) shrinks operands from SAT scale ~1e6
+            # to box scale ~1e2, then HIGHEST precision (6 bf16 passes)
+            # keeps the MXU box sums f32-exact (round-3 form)
+            box = jnp.matmul(M, Dt - Dt[0:1, :],
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+        else:
+            # every row of M is exactly 4 signed SAT corners, so the box
+            # sums ARE 4 f32 row reads of Dt + 3 VPU adds — the same
+            # corner arithmetic the reference does per window
+            # (ccv_scd.c:502-533), exact in f32 with NO matmul precision
+            # passes at all (round-4 form).
+            ci = phase["cidx"]
+            box = (jnp.take(Dt, ci[:, 0], axis=0)
+                   - jnp.take(Dt, ci[:, 1], axis=0)
+                   - jnp.take(Dt, ci[:, 2], axis=0)
+                   + jnp.take(Dt, ci[:, 3], axis=0))
+        return _surf_eval_f4n8(box.reshape(F, 4, n, 8), phase)
+    # CPU / non-exact path: byte-identical to the parity-oracle form
+    # (the CPU tier's golden gates compare exact confidences)
+    prec = None
+    box = jnp.matmul(M, Dt, preferred_element_type=jnp.float32,
+                     precision=prec)
     F = w.shape[0]
     surf = box.reshape(F, 4, n, 8).transpose(2, 0, 1, 3).reshape(n, F, 32)
     # L2Hys: normalize, clamp, renormalize (ccv_scd.c:502-533)
@@ -350,7 +420,7 @@ def _surf_from_Dt(Dt, n, phase):
 
 def _eval_level(sat8, phase_a, phase_b1, phase_b2, all_off, last_count,
                 n_stages: int, ny: int, nx: int, step: int,
-                K2: int, phase_a_impl=None, K1=None):
+                K2: int, phase_a_impl=None, K1=None, form: str = ""):
     """Evaluate one pyramid level as a STAGED cascade (up to three phases).
 
     The reference's per-window early exit (ccv_scd.c:1719-1768) becomes:
@@ -372,11 +442,16 @@ def _eval_level(sat8, phase_a, phase_b1, phase_b2, all_off, last_count,
     if phase_a_impl is not None:
         # autotuned alternative form (the Pallas VPU kernel)
         v_last, pass_a = phase_a_impl(sat8)
+    elif form == "slices":
+        # box sums straight off the phase planes: no Dt, no gather
+        v_a, pass_a = _surf_eval_f4n8(
+            _box_from_planes(planes, phase_a, ny, nx, step), phase_a)
+        v_last = v_a[:, -1]
     else:
         # phase A covers the full window grid -> dense unit-stride slices
         Dt_a = _grid_corner_slices_T(planes, phase_a["offsets"], ny, nx,
                                      step)
-        v_a, pass_a = _surf_from_Dt(Dt_a, ny * nx, phase_a)
+        v_a, pass_a = _surf_from_Dt(Dt_a, ny * nx, phase_a, box_form=form)
         v_last = v_a[:, -1]
     zero = jnp.zeros((), jnp.int32)
     idx = jnp.arange(ny * nx, dtype=jnp.int32)
@@ -433,9 +508,15 @@ def _eval_level(sat8, phase_a, phase_b1, phase_b2, all_off, last_count,
     # vmapped dynamic_slice) cost 4.6 ms on the base level vs ~0.5 ms for
     # the dense slicing+matmul — on TPU a dense matmul over all 14k
     # windows beats gathering 7% of them.
-    Dt_b1 = _grid_corner_slices_T(planes, phase_b1[1]["offsets"], ny, nx,
-                                  step)
-    v_b1, pass_b1 = _surf_from_Dt(Dt_b1, ny * nx, phase_b1[1])
+    if form == "slices":
+        v_b1, pass_b1 = _surf_eval_f4n8(
+            _box_from_planes(planes, phase_b1[1], ny, nx, step),
+            phase_b1[1])
+    else:
+        Dt_b1 = _grid_corner_slices_T(planes, phase_b1[1]["offsets"], ny,
+                                      nx, step)
+        v_b1, pass_b1 = _surf_from_Dt(Dt_b1, ny * nx, phase_b1[1],
+                                      box_form=form)
     alive1 = pass_a & pass_b1
     if phase_b2 is None:
         conf = v_b1[:, -1] / last_count + (n_stages - 1)
@@ -444,7 +525,7 @@ def _eval_level(sat8, phase_a, phase_b1, phase_b2, all_off, last_count,
     # ONE compaction feeds the big phase-B2 block on survivor tiles
     idx2 = jnp.argsort(~alive1, stable=True)[:K2].astype(jnp.int32)
     tiles2 = tiles_at(idx2, K2)
-    v_b2, pass_b2 = _surf_from_D(tiles2, phase_b2)
+    v_b2, pass_b2 = _surf_from_D(tiles2, phase_b2, box_form=form)
     # mask padding slots (fill_value=0 would duplicate window 0 if it passed)
     valid2 = (jnp.arange(K2) < jnp.minimum(count_b1, K2)) & alive1[idx2]
     passed = pass_b2 & valid2
@@ -580,13 +661,16 @@ def _make_level_body(src_shape, rows: int, cols: int, ny: int, nx: int,
     """Traceable body for one pyramid level: (optional INTER_AREA resample)
     -> margin pad -> scd_map -> SAT -> staged cascade eval.
 
-    ``force_phase_a`` selects the phase-A form: "xla" (default, the
-    centered-matmul corner slices) or "pallas" (the VPU kernel). The
-    MEASURED choice between them happens one level up, per OCTAVE program
-    (_get_octave_fn) — the deployable unit — so autotune compiles 2
-    variants per octave instead of 2 per level (cold-start wall: 34
-    standalone level compiles -> 6 octave compiles, and the measured
-    winner IS the production program)."""
+    ``force_phase_a`` selects the exact-mode evaluation form:
+      - "slices": box sums built directly from plane slices for phases
+        A + B1 (no Dt, no gather, no matmul; round-5 form);
+      - "xla": Dt corner slices + 4 f32 row-takes (round-4 form);
+      - "matmul": Dt + first-corner-centered HIGHEST matmul (round-3);
+      - "pallas": the VPU kernel for phase A, row-takes for B1/B2.
+    The MEASURED choice between them happens one level up, per OCTAVE
+    program (_get_octave_fn) — the deployable unit — so autotune compiles
+    the variants once per octave and the measured winner IS the
+    production program."""
     margin = cascade.margin
     n_stages = cascade.n_stages
     phase_a = tabs["phase_a"]
@@ -597,14 +681,18 @@ def _make_level_body(src_shape, rows: int, cols: int, ny: int, nx: int,
     phase_b2 = _tiled_phase(tabs, "phase_b2", step)
 
     phase_a_impl = None
+    form = force_phase_a or ""
     if force_phase_a == "pallas":
         from ccv_tpu.ops.pallas import scd_phase
         all_off = tabs["all_off"]
         _th = int(all_off[:, 0].max()) // step + 1
         _tw = int(all_off[:, 1].max()) // step + 1
+        form = ""  # B1/B2 keep the take form under the pallas-A variant
 
         def phase_a_impl(sat8):
             return scd_phase.phase_a(sat8, phase_a, step, ny, nx, _th, _tw)
+    elif force_phase_a == "xla":
+        form = ""  # take
 
     def level(src, last_count):
         image = src if is_base else resample.resample(
@@ -621,7 +709,7 @@ def _make_level_body(src_shape, rows: int, cols: int, ny: int, nx: int,
         return _eval_level(sat8, phase_a, phase_b1, phase_b2,
                            tabs["all_off"], last_count, n_stages,
                            ny=ny, nx=nx, step=step, K2=K2,
-                           phase_a_impl=phase_a_impl, K1=K1)
+                           phase_a_impl=phase_a_impl, K1=K1, form=form)
 
     return level
 
@@ -749,14 +837,14 @@ def _get_octave_fn(src_shape, lspecs, cascade: ScdClassifierCascade,
                                          tabs, has_next, False)
                 autotune.choose("scd_octave_exact",
                                 _octave_variants(key1, build1), args1,
-                                default="pallas", extra=extra1)
+                                default="slices", extra=extra1)
                 name = autotune.recorded("scd_octave_exact", args1,
                                          extra=extra1)
-            fn = build(name or "pallas")
+            fn = build(name or "slices")
         else:
             variants = _octave_variants(key, build)
             fn = autotune.choose("scd_octave_exact", variants, args,
-                                 default="pallas", extra=extra)
+                                 default="slices", extra=extra)
             winner = autotune.recorded("scd_octave_exact", args, extra=extra)
             if winner is not None:
                 # evict the losing variant: a whole-octave program + its
@@ -775,20 +863,25 @@ def _get_octave_fn(src_shape, lspecs, cascade: ScdClassifierCascade,
 def _octave_extra(lspecs, cascade, step: int, batch: bool) -> str:
     geom = "o" + ";".join(f"{r}x{c}g{ny}x{nx}"
                           for (_k, r, c, ny, nx) in lspecs)
-    # v2 = exact box sums via f32 corner-row gathers (round 4); the "xla"
-    # variant's cost changed, so round-3 centered-matmul decisions are
-    # stale and must re-measure
-    return f"{geom}s{step}n{len(cascade.stage_counts)}b{int(batch)}v2"
+    # v3 = the (F,4,n,8)-layout evaluator + the "slices"/"matmul" forms
+    # joined the variant set (round 5). v2's take-form costs are stale:
+    # the round-4 swap to row-takes was never measured against the matmul
+    # it replaced and regressed the big octaves 42 -> 123 ms.
+    return f"{geom}s{step}n{len(cascade.stage_counts)}b{int(batch)}v3"
+
+
+# exact-mode evaluation forms measured per octave (see _make_level_body)
+_OCTAVE_FORMS = ("slices", "xla", "matmul", "pallas")
 
 
 def _octave_variants(key, build):
-    """Memoized {name: jitted fn} for one octave's phase-A variants — the
-    SAME objects flow through prewarm, autotune measurement and production
-    dispatch, so each variant compiles at most once."""
+    """Memoized {name: jitted fn} for one octave's exact-form variants —
+    the SAME objects flow through prewarm, autotune measurement and
+    production dispatch, so each variant compiles at most once."""
     vkey = ("variants",) + key
     got = _LEVEL_CACHE.get(vkey)
     if got is None:
-        got = {name: build(name) for name in ("xla", "pallas")}
+        got = {name: build(name) for name in _OCTAVE_FORMS}
         _LEVEL_CACHE[vkey] = got
     return got
 
