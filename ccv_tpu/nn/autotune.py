@@ -88,10 +88,22 @@ def _save() -> None:
     with _LOCK:
         path = cache_path()
         try:
+            # merge-on-save: another process (e.g. a CPU test run sharing
+            # the cache with a TPU bench) may have persisted decisions for
+            # OTHER keys since we loaded; re-read and overlay ours so a
+            # whole-file dump can't clobber them (keys embed the device
+            # kind, so cross-backend keys never collide)
+            merged: Dict[str, Any] = {}
+            try:
+                with open(path) as f:
+                    merged = json.load(f)
+            except (OSError, ValueError):
+                pass
+            merged.update(_MEM or {})
             os.makedirs(os.path.dirname(path), exist_ok=True)
             tmp = path + f".tmp{os.getpid()}"
             with open(tmp, "w") as f:
-                json.dump(_MEM, f, indent=1, sort_keys=True)
+                json.dump(merged, f, indent=1, sort_keys=True)
             os.replace(tmp, path)
         except OSError:
             pass  # read-only filesystem: keep the in-memory decision
