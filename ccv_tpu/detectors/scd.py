@@ -166,6 +166,62 @@ def _luv(rgb01):
             (vv + 140.0) * (255.0 / (122.0 + 140.0)))
 
 
+def scd_map_cf8(img: jax.Array) -> jax.Array:
+    """Channels-FIRST (8, H, W) gradient map — the first 8 scd_map
+    channels (the only ones the cascade features read: ccv_scd.c:445 maps
+    feature channels onto dx/dy/du/dv and their absolutes). Per-channel
+    values are computed by the same blur/sobel/select calls as scd_map;
+    only the final stack axis differs, so the (H, W, 11)-minor relayout
+    the SAT/plane pipeline used to pay (~2.4 ms/level on the demo photo)
+    never exists."""
+    blurred = basic.blur(img, sigma=0.5)
+    grads = [basic.sobel(blurred, 1, 0), basic.sobel(blurred, 0, 1),
+             basic.sobel(blurred, 1, 1), basic.sobel(blurred, -1, 1)]
+    color = img.ndim == 3 and img.shape[-1] == 3
+    chans = []
+    for gim in grads:
+        gf = gim.astype(jnp.float32)
+        if color:
+            g0, g1, g2 = gf[..., 0], gf[..., 1], gf[..., 2]
+            a0, a1, a2 = jnp.abs(g0), jnp.abs(g1), jnp.abs(g2)
+            v = jnp.where(a1 > a0, g1, g0)
+            a01 = jnp.maximum(a0, a1)
+            gf = jnp.where(a2 > a01, g2, v)
+        elif gf.ndim == 3:
+            gf = gf[..., 0]
+        chans.append(gf)
+    return jnp.stack(chans + [jnp.abs(c) for c in chans], axis=0)
+
+
+def _sat_cf8(x: jax.Array) -> jax.Array:
+    """Zero-padded SAT of a channels-first (8, H, W) map as two batched
+    triangular MXU contractions (algebra.sat_mxu's math with channels as
+    the batch dim, so the result stays channels-first): (8, H+1, W+1)."""
+    H, W = x.shape[1], x.shape[2]
+
+    def tri(n):
+        return (jnp.arange(n + 1)[:, None] - 1
+                >= jnp.arange(n)[None, :]).astype(x.dtype)
+
+    s1 = jnp.einsum("vw,chw->chv", tri(W), x,
+                    precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("uh,chv->cuv", tri(H), s1,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def _planes_cf(sat_cf: jax.Array, hs_pad: int, ws_pad: int, step: int):
+    """(8, H1, W1) SAT -> (step*step, 8, hs_pad, ws_pad) phase planes with
+    window-col as the lane dim: planes[py*step+px, c, h, w] =
+    sat[c, h*step+py, w*step+px] (same convention as _phase_planes)."""
+    C = sat_cf.shape[0]
+    Hp, Wp = hs_pad * step, ws_pad * step
+    s = jnp.pad(sat_cf, ((0, 0), (0, max(0, Hp - sat_cf.shape[1])),
+                         (0, max(0, Wp - sat_cf.shape[2]))))[:, :Hp, :Wp]
+    s = s.reshape(C, hs_pad, step, ws_pad, step)
+    return s.transpose(2, 4, 0, 1, 3).reshape(step * step, C, hs_pad,
+                                              ws_pad)
+
+
 def scd_map(img: jax.Array) -> jax.Array:
     """ccv_scd twin (ccv_scd.c:325): 11-channel float32 feature map.
 
@@ -614,6 +670,16 @@ def _cascade_tables(cascade: ScdClassifierCascade):
     return tabs
 
 
+def _full_phase(tabs, cascade: ScdClassifierCascade):
+    """Whole-cascade phase tables (every feature, stage-ordered) for the
+    full-cascade Pallas kernel; cached on the tables dict."""
+    got = tabs.get("phase_full")
+    if got is None:
+        got = _phase_tables(cascade, np.arange(cascade.n_features))
+        tabs["phase_full"] = got
+    return got
+
+
 def _level_capacity(nwin: int) -> int:
     """Fixed phase-B1 buffer size: ~1.3x the worst observed phase-A
     survivor rate (5.4% across the reference samples); detect() falls back
@@ -673,6 +739,7 @@ def _make_level_body(src_shape, rows: int, cols: int, ny: int, nx: int,
     production program."""
     margin = cascade.margin
     n_stages = cascade.n_stages
+
     phase_a = tabs["phase_a"]
     # B1 needs both forms: the tile-remapped matrix for the CPU sparse
     # path, the raw offset form for the TPU dense slicing path
@@ -744,12 +811,203 @@ def _get_level_fn(src_shape, rows: int, cols: int, ny: int, nx: int,
     return fn
 
 
+def _cascade_sig(cascade, tabs) -> str:
+    """Stable content hash of a cascade's tables (the ccv `sig` analog,
+    ccv.h's cached-signature convention) for cross-process AOT keys."""
+    sig = tabs.get("sig")
+    if sig is None:
+        import hashlib
+        h = hashlib.sha256()
+        h.update(f"{cascade.width}x{cascade.height}m{cascade.margin}"
+                 .encode())
+        for arr in (cascade.stage_counts, cascade.thresholds, cascade.sx,
+                    cascade.sy, cascade.dx, cascade.dy, cascade.bias,
+                    cascade.w, cascade.stage_of):
+            h.update(np.ascontiguousarray(arr).tobytes())
+        sig = h.hexdigest()[:16]
+        tabs["sig"] = sig
+    return sig
+
+
+class _AotJit:
+    """Lazy AOT-cached octave program: holds the jitted fn + a stable
+    key; the first call loads the serialized PJRT executable from
+    nn/aotcache or compiles and persists it. Exists because XLA's own
+    persistent-cache key is unstable across processes for the biggest
+    whole-octave Mosaic program (measured round 5: identical StableHLO,
+    fresh ~10 min compile every process)."""
+
+    def __init__(self, jitfn, key: str):
+        self._fn, self._key = jitfn, key
+        self._compiled = {}   # call signature -> jax.stages.Compiled
+        import threading
+        self._lock = threading.Lock()
+
+    def lower(self, *args):
+        # pre-jitted contract for nn/autotune._time_variant: without
+        # this, autotune wraps the object in jax.jit and traces the
+        # compiled executable's __call__ — which raises, scoring the
+        # variant inf (round 5: bench chose slices over a 3x-faster
+        # pallas_full because of exactly that)
+        return self._fn.lower(*args)
+
+    @staticmethod
+    def _sig(args):
+        def one(a):
+            if not hasattr(a, "dtype"):
+                # weak-typed Python scalars jit like f32/i32 zero-dim args
+                a = jnp.asarray(a)
+            return f"{jnp.dtype(a.dtype).name}{tuple(a.shape)}"
+        return "+".join(one(a) for a in args)
+
+    def cached(self, *args) -> bool:
+        """True when the serialized executable for this call signature is
+        already on disk (a call will LOAD in ~1 s rather than compile for
+        minutes)."""
+        sig = self._sig(args)
+        if sig in self._compiled:
+            return True
+        from ccv_tpu.nn import aotcache
+        return aotcache.entry_exists(f"{self._key}|{sig}")
+
+    def __call__(self, *args):
+        sig = self._sig(args)
+        c = self._compiled.get(sig)
+        if c is None:
+            with self._lock:
+                c = self._compiled.get(sig)
+                if c is None:
+                    from ccv_tpu.nn import aotcache
+                    c = aotcache.load_or_compile(
+                        self._fn, args, f"{self._key}|{sig}",
+                        aotcache.STATS)
+                    self._compiled[sig] = c
+        return c(*args)
+
+
+def _build_octave_pallas_full(src_shape, lspecs, cascade, step, tabs,
+                              has_next: bool, batch: bool,
+                              dtype=jnp.float32):
+    """Whole-octave program for the full-cascade Pallas kernel: the
+    per-level XLA prolog (INTER_AREA resample -> margin pad -> channels-
+    first SURF map -> SAT -> phase planes) feeds ONE kernel call with a
+    (L, gy, gx) grid (ops/pallas/scd_cascade.cascade_eval_levels), then a
+    per-level top_k compacts survivors to the same K2-row rows the staged
+    forms emit. One Mosaic module per octave instead of one per level —
+    the per-level form was 26 MB of StableHLO and a ~17 min compile for
+    the base octave."""
+    from ccv_tpu.ops.pallas import scd_cascade
+
+    margin = cascade.margin
+    n_stages = cascade.n_stages
+    all_off = tabs["all_off"]
+    th = int(all_off[:, 0].max()) // step + 1
+    tw = int(all_off[:, 1].max()) // step + 1
+    gy, gx = scd_cascade.pad_dims(
+        max(ny for (_k, _r, _c, ny, _nx) in lspecs),
+        max(nx for (_k, _r, _c, _ny, nx) in lspecs), th, tw)[:2]
+    _, _, hs_pad, ws_pad = scd_cascade.pad_dims(
+        gy * scd_cascade.BY, gx * scd_cascade.BX, th, tw)
+    full = _full_phase(tabs, cascade)
+    has_b2 = tabs["phase_b2"] is not None
+    dims = np.asarray([(ny, nx) for (_k, _r, _c, ny, nx) in lspecs],
+                      np.int32)
+
+    def prolog(src):
+        """(L, step*step, 8, hs_pad, ws_pad) phase planes for one image."""
+        planes_l = []
+        for (k, rows, cols, ny, nx) in lspecs:
+            image = src if k == 0 else resample.resample(
+                src, rows=rows, cols=cols, rows_scale=rows / src.shape[0],
+                cols_scale=cols / src.shape[1],
+                interp=resample.INTER_AREA)
+            if any(margin):
+                pads = [(margin[1], margin[3]), (margin[0], margin[2]),
+                        (0, 0)]
+                image = jnp.pad(image, pads)
+            sat8 = _sat_cf8(scd_map_cf8(image))
+            planes_l.append(_planes_cf(sat8, hs_pad, ws_pad, step))
+        return jnp.stack(planes_l)
+
+    def postlog(conf_g, passed_g, last_count):
+        """Kernel grids -> the packed (idx, passed, conf) rows + counts
+        the staged forms emit, one image."""
+        rows_all, counts = [], []
+        for li, (k, rows, cols, ny, nx) in enumerate(lspecs):
+            passed = passed_g[li, :ny, :nx].reshape(ny * nx)
+            conf = (conf_g[li, :ny, :nx].reshape(ny * nx) / last_count
+                    + (n_stages - 1))
+            count = jnp.sum(passed, dtype=jnp.int32)
+            if not has_b2:
+                idx = jnp.arange(ny * nx, dtype=jnp.int32)
+                count2 = jnp.stack([count, jnp.zeros((), jnp.int32)])
+            else:
+                # compact to the same K2-row output the staged forms
+                # emit (top_k of the 0/1 mask = first K2 survivors in
+                # window order; ties favor lower indices)
+                K2 = _level_capacity2(ny * nx)
+                vals, idx2 = jax.lax.top_k(passed.astype(jnp.float32),
+                                           K2)
+                idx, passed, conf = (idx2.astype(jnp.int32), vals > 0.0,
+                                     conf[idx2])
+                count2 = jnp.stack([count, count])
+            rows_all.append(jnp.stack([idx.astype(jnp.float32),
+                                       passed.astype(jnp.float32),
+                                       conf.astype(jnp.float32)], axis=1))
+            counts.append(count2.astype(jnp.float32))
+        return jnp.concatenate(rows_all, axis=0), jnp.stack(counts)
+
+    def octave(src, last_count):
+        conf_g, passed_g = scd_cascade.cascade_eval_levels(
+            prolog(src), full, step, dims, th, tw, gy, gx)
+        packed, cnts = postlog(conf_g, passed_g, last_count)
+        nxt = resample.sample_down(src) if has_next else jnp.zeros(
+            (), jnp.float32)
+        return packed, cnts, nxt
+
+    L = len(lspecs)
+
+    def batched(srcs, last_count):
+        # the whole batch's levels ride the kernel's level axis: ONE
+        # pallas_call (grid (B*L, gy, gx)) per octave for B images —
+        # the XLA prolog/postlog vmap, the kernel itself needs no
+        # batching rule
+        B = srcs.shape[0]
+        pls = jax.vmap(prolog)(srcs)
+        flat = pls.reshape((B * L,) + pls.shape[2:])
+        conf, passed = scd_cascade.cascade_eval_levels(
+            flat, full, step, np.tile(dims, (B, 1)), th, tw, gy, gx)
+        conf = conf.reshape((B, L) + conf.shape[1:])
+        passed = passed.reshape((B, L) + passed.shape[1:])
+        packed, cnts = jax.vmap(postlog, in_axes=(0, 0, None))(
+            conf, passed, last_count)
+        nxt = (jax.vmap(resample.sample_down)(srcs) if has_next
+               else jnp.zeros((), jnp.float32))
+        return packed, cnts, nxt
+
+    from ccv_tpu.ops.pallas.scd_cascade import KERNEL_VERSION
+    aot_key = (f"scd_octave_pf{KERNEL_VERSION}|{src_shape}|"
+               f"{jnp.dtype(dtype).name}|"
+               f"{tuple(lspecs)}|s{step}|{_cascade_sig(cascade, tabs)}|"
+               f"hn{int(has_next)}|b{int(batch)}")
+    return _AotJit(jax.jit(batched if batch else octave), aot_key)
+
+
 def _octave_builder(src_shape, lspecs, cascade: ScdClassifierCascade,
-                    step: int, tabs, has_next: bool, batch: bool = False):
-    """Returns build(force_phase_a) -> jitted whole-octave program with the
-    given phase-A form ("xla" / "pallas" / None = non-exact default)."""
+                    step: int, tabs, has_next: bool, batch: bool = False,
+                    dtype=jnp.float32):
+    """Returns build(form) -> callable whole-octave program: "slices" /
+    "xla" / "matmul" / "pallas" build jitted staged-phase programs with
+    that phase-A box-sum form; "pallas_full" builds the single
+    multi-level full-cascade kernel program (AOT-cached); None = the
+    non-exact default. Programs specialize on `dtype` — the production
+    pyramid dtype (uint8 for image inputs)."""
 
     def build(force_phase_a):
+        if force_phase_a == "pallas_full":
+            return _build_octave_pallas_full(src_shape, lspecs, cascade,
+                                             step, tabs, has_next, batch,
+                                             dtype)
         bodies = [
             _make_level_body(src_shape, rows, cols, ny, nx, k == 0, cascade,
                              step, tabs, K2=_level_capacity2(ny * nx),
@@ -776,7 +1034,7 @@ def _octave_builder(src_shape, lspecs, cascade: ScdClassifierCascade,
             # one dispatch per octave for the WHOLE image batch: B x the
             # per-program work of the single path, so the tiny upper-pyramid
             # levels stop being dispatch-bound
-            if force_phase_a == "pallas":
+            if str(force_phase_a).startswith("pallas"):
                 # pallas_call with a manually-DMA'd ANY-space input has no
                 # vmap batching rule (Mosaic requires whole-array blocks
                 # there); lax.map keeps the one-dispatch-per-octave batch
@@ -793,7 +1051,8 @@ def _octave_builder(src_shape, lspecs, cascade: ScdClassifierCascade,
 
 
 def _get_octave_fn(src_shape, lspecs, cascade: ScdClassifierCascade,
-                   step: int, tabs, has_next: bool, batch: bool = False):
+                   step: int, tabs, has_next: bool, batch: bool = False,
+                   dtype=jnp.float32):
     """ONE jitted program for a whole octave: every level of the octave
     (sharing the octave source) + the sample_down to the next octave, with
     the levels' outputs packed into a single rows array. Each program
@@ -801,12 +1060,14 @@ def _get_octave_fn(src_shape, lspecs, cascade: ScdClassifierCascade,
     dispatches per image fused down to one per octave is ~10 ms/image.
     (Round 1 fused the ENTIRE pyramid into one program and hit a 17.5 MB
     MLIR module that killed the compiler; one octave stays small.)"""
-    key = (id(cascade), src_shape, tuple(lspecs), step, has_next, batch)
+    dtype = jnp.dtype(dtype)
+    key = (id(cascade), src_shape, tuple(lspecs), step, has_next, batch,
+           dtype.name)
     fn = _LEVEL_CACHE.get(key)
     if fn is not None:
         return fn
     build = _octave_builder(src_shape, lspecs, cascade, step, tabs,
-                            has_next, batch)
+                            has_next, batch, dtype)
 
     # Exact mode on TPU: the phase-A form (centered-XLA vs Pallas) is a
     # MEASURED per-octave decision (nn/autotune, the ccv_nnc_cmd_autotune
@@ -814,10 +1075,17 @@ def _get_octave_fn(src_shape, lspecs, cascade: ScdClassifierCascade,
     # — the deployable unit — and the measured jitted winner is reused as
     # the production program (no recompile).
     exact = TPU_EXACT_BOX_SUMS and jax.default_backend() != "cpu"
+    forced = _os.environ.get("CCV_TPU_SCD_OCTAVE_FORM")
+    if exact and forced:
+        # A/B experiments: pin the octave form, bypass autotune (the
+        # variant table keeps prewarm and production on ONE jit object)
+        fn = _octave_variants(key, build, (forced,))[forced]
+        _LEVEL_CACHE[key] = fn
+        return fn
     if exact:
         from ccv_tpu.nn import autotune
         extra = _octave_extra(lspecs, cascade, step, batch)
-        args = (jnp.zeros(src_shape, jnp.float32),
+        args = (jnp.zeros(src_shape, dtype),
                 jnp.zeros((), jnp.float32))
         if batch:
             # reuse the single-image octave's measured choice (same
@@ -825,16 +1093,16 @@ def _get_octave_fn(src_shape, lspecs, cascade: ScdClassifierCascade,
             # miss (batch-first workload) MEASURE the single-image
             # variants as the geometry proxy instead of silently locking
             # in a default
-            args1 = (jnp.zeros(src_shape, jnp.float32),
+            args1 = (jnp.zeros(src_shape, dtype),
                      jnp.zeros((), jnp.float32))
             extra1 = _octave_extra(lspecs, cascade, step, False)
             name = autotune.recorded("scd_octave_exact", args1, extra=extra1)
             if name is None:
                 key1 = (id(cascade), src_shape, tuple(
                     (k, r, c, ny, nx) for (k, r, c, ny, nx) in lspecs),
-                    step, has_next, False)
+                    step, has_next, False, dtype.name)
                 build1 = _octave_builder(src_shape, lspecs, cascade, step,
-                                         tabs, has_next, False)
+                                         tabs, has_next, False, dtype)
                 autotune.choose("scd_octave_exact",
                                 _octave_variants(key1, build1), args1,
                                 default="slices", extra=extra1)
@@ -863,26 +1131,29 @@ def _get_octave_fn(src_shape, lspecs, cascade: ScdClassifierCascade,
 def _octave_extra(lspecs, cascade, step: int, batch: bool) -> str:
     geom = "o" + ";".join(f"{r}x{c}g{ny}x{nx}"
                           for (_k, r, c, ny, nx) in lspecs)
-    # v3 = the (F,4,n,8)-layout evaluator + the "slices"/"matmul" forms
-    # joined the variant set (round 5). v2's take-form costs are stale:
-    # the round-4 swap to row-takes was never measured against the matmul
-    # it replaced and regressed the big octaves 42 -> 123 ms.
-    return f"{geom}s{step}n{len(cascade.stage_counts)}b{int(batch)}v3"
+    # v4 = the full-cascade per-block-early-exit Pallas kernel joined and
+    # the losing round-3/4 forms (xla/matmul/pallas phase-A) left the
+    # measured set (they lost at every octave geometry in the v3
+    # measurements; still available via CCV_TPU_SCD_BOX_FORM for A/B).
+    # v5 = pallas_full became ONE multi-level kernel per octave (grid
+    # (L, gy, gx)) and programs specialize on the production src dtype —
+    # v4's per-level-kernel timings don't describe the new program.
+    return f"{geom}s{step}n{len(cascade.stage_counts)}b{int(batch)}v5"
 
 
 # exact-mode evaluation forms measured per octave (see _make_level_body)
-_OCTAVE_FORMS = ("slices", "xla", "matmul", "pallas")
+_OCTAVE_FORMS = ("slices", "pallas_full")
 
 
-def _octave_variants(key, build):
+def _octave_variants(key, build, names=None):
     """Memoized {name: jitted fn} for one octave's exact-form variants —
     the SAME objects flow through prewarm, autotune measurement and
     production dispatch, so each variant compiles at most once."""
     vkey = ("variants",) + key
-    got = _LEVEL_CACHE.get(vkey)
-    if got is None:
-        got = {name: build(name) for name in _OCTAVE_FORMS}
-        _LEVEL_CACHE[vkey] = got
+    got = _LEVEL_CACHE.setdefault(vkey, {})
+    for name in (names or _OCTAVE_FORMS):
+        if name not in got:
+            got[name] = build(name)
     return got
 
 
@@ -898,14 +1169,21 @@ def _prewarm_octave_fns(oct_work, cascade, step, tabs):
     from ccv_tpu.nn import autotune
 
     jobs = []  # (jitted fn, args)
-    for (src_shape, lspecs, has_next) in oct_work:
-        key = (id(cascade), src_shape, tuple(lspecs), step, has_next, False)
+    for (src_shape, lspecs, has_next, dtype) in oct_work:
+        dtype = jnp.dtype(dtype)
+        key = (id(cascade), src_shape, tuple(lspecs), step, has_next, False,
+           dtype.name)
         if _LEVEL_CACHE.get(key) is not None:
             continue
         build = _octave_builder(src_shape, lspecs, cascade, step, tabs,
-                                has_next, False)
-        args = (jnp.zeros(src_shape, jnp.float32),
+                                has_next, False, dtype)
+        args = (jnp.zeros(src_shape, dtype),
                 jnp.zeros((), jnp.float32))
+        forced = _os.environ.get("CCV_TPU_SCD_OCTAVE_FORM")
+        if forced:
+            jobs.append((_octave_variants(key, build, (forced,))[forced],
+                         args))
+            continue
         variants = _octave_variants(key, build)
         name = autotune.recorded("scd_octave_exact", args,
                                  extra=_octave_extra(lspecs, cascade, step,
@@ -914,10 +1192,25 @@ def _prewarm_octave_fns(oct_work, cascade, step, tabs):
             jobs.append((variants[name], args))
         else:
             jobs.extend((fn, args) for fn in variants.values())
-    if len(jobs) > 1:
-        with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
-            list(ex.map(lambda ja: jax.block_until_ready(ja[0](*ja[1])),
-                        jobs))
+    # WARM AOT-cached programs (pallas_full) load their serialized
+    # executable in ~1 s each but CONCURRENT deserialize RPCs wedge the
+    # tunneled device for minutes (round 5: 327 s first-detect vs 7 s
+    # serial) — run those serially; real compiles (jit variants and cold
+    # AOT) overlap in threads as before
+    aot_jobs = [ja for ja in jobs
+                if isinstance(ja[0], _AotJit) and ja[0].cached(*ja[1])]
+    jit_jobs = [ja for ja in jobs if ja not in aot_jobs]
+    if len(jit_jobs) > 1:
+        with ThreadPoolExecutor(max_workers=len(jit_jobs)) as ex:
+            futs = [ex.submit(lambda ja=ja: jax.block_until_ready(
+                ja[0](*ja[1]))) for ja in jit_jobs]
+            for ja in aot_jobs:
+                jax.block_until_ready(ja[0](*ja[1]))
+            for f in futs:
+                f.result()
+    else:
+        for ja in jit_jobs + aot_jobs:
+            jax.block_until_ready(ja[0](*ja[1]))
 
 
 def detect_async(img, cascade: ScdClassifierCascade,
@@ -962,7 +1255,8 @@ def detect_async(img, cascade: ScdClassifierCascade,
         for octave in range(scale_upto):
             lspecs = by_octave.get(octave, [])
             if lspecs:
-                oct_work.append((shp, lspecs, octave < scale_upto - 1))
+                oct_work.append((shp, lspecs, octave < scale_upto - 1,
+                                 src.dtype))
             shp = (shp[0] // 2, shp[1] // 2) + shp[2:]
         _prewarm_octave_fns(oct_work, cascade, step, tabs)
     for octave in range(scale_upto):
@@ -974,7 +1268,7 @@ def detect_async(img, cascade: ScdClassifierCascade,
                 pyr.append(src)
             continue
         fn = _get_octave_fn(tuple(src.shape), lspecs, cascade, step, tabs,
-                            has_next)
+                            has_next, dtype=src.dtype)
         packed, cnts, nxt = fn(src, tabs["last_count"])
         pieces.append((packed, cnts))
         if has_next:
@@ -1134,7 +1428,7 @@ def detect_batch(imgs, cascade: ScdClassifierCascade,
                 pyr.append(src)
             continue
         fn = _get_octave_fn(tuple(src.shape[1:]), lspecs, cascade, step,
-                            tabs, has_next, batch=True)
+                            tabs, has_next, batch=True, dtype=src.dtype)
         packed_o, cnts, nxt = fn(src, tabs["last_count"])
         pieces.append((packed_o, cnts))
         if has_next:
